@@ -1,0 +1,160 @@
+"""Connected components on TPU via min-label relaxation + pointer jumping.
+
+The reference leans on ``scipy.ndimage.label`` (3D, 6- or 26-connectivity;
+reference: utils/voxel_carving_utils.py:175, utils/voxel_utils.py:26,
+utils/camera_estimation.py:181) and ``skimage.measure.label`` (2D,
+8-connectivity; utils/camera_estimation.py:264).  Sequential union-find does
+not map to XLA, so we use the classic parallel formulation:
+
+1. seed every foreground cell with its own flat index;
+2. iterate: take the min label over the (masked) neighborhood — one
+   vectorized sweep per step (Gauss-Seidel chained across axes);
+3. accelerate with *pointer jumping*: ``label <- label[label]`` (a gather),
+   which squashes long label chains logarithmically;
+4. stop at fixpoint (``lax.while_loop``).
+
+The final label of a component is the smallest flat index it contains, which
+is also the raster order of first occurrence — i.e. scipy's numbering — so a
+cheap monotone relabel gives scipy-identical output.
+
+Per-component measurements (bbox / centroid / extent) are computed on device
+with ``segment_min/max/sum`` reductions rather than host loops (the
+reference's per-component ``np.argwhere`` loops are the stage-2 bottleneck,
+~13 s for a 512³ grid; reference: utils/camera_estimation.py:176-210).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = np.int32(2**30)
+
+
+def _shift_min(lab: jax.Array, axis: int) -> jax.Array:
+    """min(lab, lab shifted ±1 along axis) with BIG fill at the borders."""
+    n = lab.shape[axis]
+    fwd = jnp.concatenate(
+        [
+            jax.lax.slice_in_dim(lab, 1, n, axis=axis),
+            jnp.full(jax.lax.slice_in_dim(lab, 0, 1, axis=axis).shape, _BIG, lab.dtype),
+        ],
+        axis=axis,
+    )
+    bwd = jnp.concatenate(
+        [
+            jnp.full(jax.lax.slice_in_dim(lab, 0, 1, axis=axis).shape, _BIG, lab.dtype),
+            jax.lax.slice_in_dim(lab, 0, n - 1, axis=axis),
+        ],
+        axis=axis,
+    )
+    return jnp.minimum(lab, jnp.minimum(fwd, bwd))
+
+
+def _sweep(lab: jax.Array, mask: jax.Array, full_connectivity: bool) -> jax.Array:
+    """One masked neighborhood-min pass."""
+    if full_connectivity:
+        # Chained 1D min-filters = min over the full 3^d box window.
+        out = lab
+        for ax in range(lab.ndim):
+            out = _shift_min(out, ax)
+    else:
+        # Cross (face) neighborhood: min over ±1 shifts of the *input*.
+        out = lab
+        for ax in range(lab.ndim):
+            out = jnp.minimum(out, _shift_min(lab, ax))
+    return jnp.where(mask, jnp.minimum(lab, out), _BIG)
+
+
+def _jump(lab: jax.Array) -> jax.Array:
+    flat = lab.ravel()
+    g = jnp.take(flat, jnp.clip(flat, 0, flat.shape[0] - 1))
+    return jnp.where(flat >= _BIG, flat, g).reshape(lab.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("full_connectivity",))
+def _label_roots(mask: jax.Array, full_connectivity: bool) -> jax.Array:
+    """Foreground -> smallest flat index of its component; background -> BIG."""
+    size = int(np.prod(mask.shape))
+    idx = jnp.arange(size, dtype=jnp.int32).reshape(mask.shape)
+    lab = jnp.where(mask, idx, _BIG)
+
+    def cond(state):
+        lab, prev, it = state
+        return jnp.logical_and(jnp.any(lab != prev), it < size)
+
+    def body(state):
+        lab, _, it = state
+        new = _sweep(lab, mask, full_connectivity)
+        new = _jump(new)
+        new = _jump(new)
+        return new, lab, it + 1
+
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.full_like(lab, -1), 0))
+    return lab
+
+
+def connected_components(
+    mask, connectivity: str = "face"
+) -> Tuple[np.ndarray, int]:
+    """Label connected components of a boolean 2D/3D mask.
+
+    ``connectivity``: "face" (scipy default: 4-conn in 2D, 6-conn in 3D) or
+    "full" (3^d box: 8-conn in 2D, 26-conn in 3D — skimage's 2D default and
+    ``structure=np.ones((3,3,3))``).
+
+    Returns ``(labels int32 (same shape; 0 = background, 1..n in scipy raster
+    order), n)`` as host numpy.
+    """
+    mask = jnp.asarray(mask, dtype=bool)
+    roots = np.asarray(_label_roots(mask, connectivity == "full"))
+    mask_np = roots < _BIG
+    uniq = np.unique(roots[mask_np])
+    labels = np.zeros(mask.shape, dtype=np.int32)
+    if uniq.size:
+        labels[mask_np] = np.searchsorted(uniq, roots[mask_np]) + 1
+    return labels, int(uniq.size)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def _component_stats_jit(labels: jax.Array, num_segments: int):
+    nd = labels.ndim
+    flat = labels.ravel().astype(jnp.int32)
+    seg = jnp.where(flat > 0, flat, 0)  # background -> bucket 0
+    mins, maxs, sums = [], [], []
+    for ax in range(nd):
+        coord = jax.lax.broadcasted_iota(jnp.int32, labels.shape, ax).ravel()
+        mins.append(jax.ops.segment_min(
+            jnp.where(flat > 0, coord, _BIG), seg, num_segments=num_segments))
+        maxs.append(jax.ops.segment_max(
+            jnp.where(flat > 0, coord, -1), seg, num_segments=num_segments))
+        sums.append(jax.ops.segment_sum(
+            jnp.where(flat > 0, coord, 0).astype(jnp.float32), seg,
+            num_segments=num_segments))
+    counts = jax.ops.segment_sum(
+        (flat > 0).astype(jnp.float32), seg, num_segments=num_segments)
+    return (
+        jnp.stack(mins, -1), jnp.stack(maxs, -1), jnp.stack(sums, -1), counts
+    )
+
+
+def component_stats(labels: np.ndarray, n: int):
+    """Per-component bbox & centroid, computed on device.
+
+    Returns dict of host arrays indexed by component id 1..n (index 0 unused):
+    ``bbox_min (n+1, nd)``, ``bbox_max (n+1, nd)`` (inclusive),
+    ``centroid (n+1, nd)``, ``count (n+1,)``.
+    """
+    mins, maxs, sums, counts = _component_stats_jit(jnp.asarray(labels), n + 1)
+    mins, maxs, sums, counts = map(np.asarray, (mins, maxs, sums, counts))
+    centroid = sums / np.maximum(counts, 1.0)[:, None]
+    return {
+        "bbox_min": mins,
+        "bbox_max": maxs,
+        "centroid": centroid,
+        "count": counts,
+    }

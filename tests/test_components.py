@@ -1,0 +1,53 @@
+"""connected_components vs scipy.ndimage.label."""
+
+import numpy as np
+import pytest
+import scipy.ndimage
+
+from pbr3d.ops.components import connected_components, component_stats
+
+
+def _same_partition(a, b):
+    """Labelings are equivalent up to renaming."""
+    assert (a > 0).sum() == (b > 0).sum()
+    pairs = set(zip(a[a > 0].ravel(), b[a > 0].ravel()))
+    return len(pairs) == len({p[0] for p in pairs}) == len({p[1] for p in pairs})
+
+
+@pytest.mark.parametrize("shape", [(20, 20, 20), (9, 31, 13)])
+def test_face_connectivity_3d(rng, shape):
+    mask = rng.random(shape) > 0.7
+    ours, n = connected_components(mask, "face")
+    ref, n_ref = scipy.ndimage.label(mask)
+    assert n == n_ref
+    assert _same_partition(ours, ref)
+    # scipy raster-order numbering should match exactly.
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_full_connectivity_3d(rng):
+    mask = rng.random((16, 16, 16)) > 0.6
+    ours, n = connected_components(mask, "full")
+    ref, n_ref = scipy.ndimage.label(mask, structure=np.ones((3, 3, 3)))
+    assert n == n_ref
+    assert _same_partition(ours, ref)
+
+
+def test_2d_full_connectivity(rng):
+    mask = rng.random((40, 33)) > 0.6
+    ours, n = connected_components(mask, "full")
+    ref, n_ref = scipy.ndimage.label(mask, structure=np.ones((3, 3)))
+    assert n == n_ref
+    assert _same_partition(ours, ref)
+
+
+def test_component_stats(rng):
+    mask = rng.random((15, 15, 15)) > 0.75
+    labels, n = connected_components(mask, "face")
+    stats = component_stats(labels, n)
+    for i in range(1, n + 1):
+        coords = np.argwhere(labels == i)
+        np.testing.assert_array_equal(stats["bbox_min"][i], coords.min(0))
+        np.testing.assert_array_equal(stats["bbox_max"][i], coords.max(0))
+        np.testing.assert_allclose(stats["centroid"][i], coords.mean(0), rtol=1e-5)
+        assert stats["count"][i] == len(coords)
