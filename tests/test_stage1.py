@@ -1,0 +1,59 @@
+"""Stage-1 end-to-end: bit-exactness vs the reference pipeline's output.
+
+The fixture ``tests/fixtures/oracle_Akbar_128.npz`` holds the output of
+running the reference implementation (utils/voxel_carving_utils.py via
+notebook-1 cell 5/7 parameters) on Akbar at max_dim=128 in this environment.
+Our TPU pipeline must reproduce it voxel-for-voxel.
+
+NOTE on goldens: the committed golden
+``results/1.Orthographic_Voxel_Carving/Akbar_voxel_grid.npz`` differs from
+what the reference code itself produces today (occupancy IoU 0.967 / label
+IoU 0.816 reference-vs-golden) — the goldens are snapshots of an earlier
+run.  Parity is therefore asserted bit-exactly against the *current
+reference behavior* and loosely (IoU) against the goldens.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pbr3d.carving.stage1 import carve_monument, global_carve
+from pbr3d.config import rgb_to_labels
+from pbr3d.io.artifacts import (
+    colored_voxel_grid_iou,
+    load_voxel_grid_labels,
+    voxel_grid_iou,
+)
+from pbr3d.io.masks import prepare_masks
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "oracle_Akbar_128.npz")
+
+
+@pytest.fixture(scope="module")
+def akbar_masks(data_root):
+    return prepare_masks(data_root, "Akbar", "front", 128)
+
+
+def test_global_carve_bit_exact(akbar_masks):
+    oracle = rgb_to_labels(np.load(FIXTURE)["colored"])
+    ours = np.asarray(global_carve(akbar_masks.binary, akbar_masks.exterior_labels, 90))
+    np.testing.assert_array_equal(ours, oracle)
+
+
+def test_full_stage1_bit_exact(akbar_masks):
+    oracle = rgb_to_labels(np.load(FIXTURE)["final"])
+    ours = np.asarray(carve_monument(akbar_masks))
+    np.testing.assert_array_equal(ours, oracle)
+
+
+def test_full_stage1_vs_golden(akbar_masks, golden_root):
+    gold = load_voxel_grid_labels(
+        os.path.join(golden_root, "1.Orthographic_Voxel_Carving", "Akbar_voxel_grid.npz")
+    )
+    ours = np.asarray(carve_monument(akbar_masks))
+    assert ours.shape == gold.shape
+    # Golden drift (see module docstring): the reference itself scores 0.9666
+    # occupancy IoU against this golden.
+    assert voxel_grid_iou(ours, gold) >= 0.96
+    assert colored_voxel_grid_iou(ours, gold) >= 0.81
