@@ -1,0 +1,104 @@
+"""Voxel-grid <-> point-set utilities (label domain).
+
+Coordinate convention preserved from the reference: a label grid is indexed
+(d0, d1, d2); point lists are columns (x, y, z) = (d2, d1, d0) in the raster
+order of ``np.where`` (reference: utils/voxel_utils.py:17-18,41-43).  That
+raster order matters — the splat projector's last-write-wins collision rule
+depends on it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from pbr3d import config
+from pbr3d.ops.components import connected_components, component_stats
+
+
+def points_by_parts(
+    grid_labels: np.ndarray, part_names: Sequence[str]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(x, y, z) float32 points + uint8 labels of the selected parts.
+
+    Reference ``get_voxel_points_by_parts`` (utils/voxel_utils.py:7-21) in the
+    label domain (colors == labels).
+    """
+    grid_labels = np.asarray(grid_labels)
+    ids = config.part_ids(part_names)
+    mask = np.isin(grid_labels, ids)
+    d0, d1, d2 = np.where(mask)
+    pts = np.stack([d2, d1, d0], axis=1).astype(np.float32)
+    return pts, grid_labels[d0, d1, d2]
+
+
+def all_points(grid_labels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """All occupied voxels as (x, y, z) points + labels
+    (reference: eval_helpers_intra.py:138-139)."""
+    grid_labels = np.asarray(grid_labels)
+    d0, d1, d2 = np.where(grid_labels > 0)
+    pts = np.stack([d2, d1, d0], axis=1).astype(np.float32)
+    return pts, grid_labels[d0, d1, d2]
+
+
+def grid_to_points(
+    grid_labels: np.ndarray, stride: int = 2
+) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int, int]]:
+    """Strided occupied-voxel extraction for visualization
+    (reference ``voxel_grid_to_points``, utils/voxel_utils.py:35-51)."""
+    g = np.asarray(grid_labels)
+    W, H, D = g.shape[:3]
+    ds = g[::stride, ::stride, ::stride]
+    d0, d1, d2 = np.where(ds > 0)
+    pts = np.stack([d2, d1, d0], axis=1).astype(np.float32) * stride
+    return pts, ds[d0, d1, d2], (H, W, D)
+
+
+def extract_top_k_components(
+    grid_labels: np.ndarray, part_name: str, k: int = 4
+) -> np.ndarray:
+    """Keep only the k tallest 26-connected components of one part
+    (reference: utils/voxel_utils.py:24-33; height = extent along dim 1)."""
+    grid_labels = np.asarray(grid_labels)
+    pid = config.PART_IDS[part_name]
+    comp, n = connected_components(grid_labels == pid, "full")
+    if n == 0:
+        return grid_labels.copy()
+    stats = component_stats(comp, n)
+    heights = (stats["bbox_max"][1:, 1] - stats["bbox_min"][1:, 1]).astype(np.int64)
+    top = np.argsort(-heights, kind="stable")[:k] + 1
+    out = grid_labels.copy()
+    drop = (comp > 0) & ~np.isin(comp, top)
+    out[drop] = 0
+    return out
+
+
+def pad_points(
+    pts: np.ndarray, labels: np.ndarray, n: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad a variable-size point set to a fixed size for jit'd consumers.
+
+    Returns (pts (n,3) f32, labels (n,) uint8, valid (n,) bool).  ``n`` is
+    typically the next power-of-two bucket, so the number of distinct
+    compiled shapes stays tiny.
+    """
+    m = pts.shape[0]
+    if m > n:
+        raise ValueError(f"{m} points exceed pad size {n}")
+    out_p = np.zeros((n, 3), np.float32)
+    out_l = np.zeros((n,), np.uint8)
+    out_v = np.zeros((n,), bool)
+    out_p[:m] = pts
+    out_l[:m] = labels
+    out_v[:m] = True
+    return out_p, out_l, out_v
+
+
+def bucket_size(m: int, minimum: int = 1024) -> int:
+    """Next power-of-two >= m (>= minimum)."""
+    n = minimum
+    while n < m:
+        n *= 2
+    return n

@@ -1,0 +1,133 @@
+"""Point-splat projection, z-buffering, and mask IoU — scatter-free TPU style.
+
+Reference semantics replicated:
+
+* splat projector (utils/projection_utils.py:5-23): round u/v to ints
+  (numpy banker's rounding), keep in-bounds points, write colors with
+  numpy fancy assignment — LAST point wins on collisions.  We reproduce
+  last-write-wins with a ``segment_max`` over point order (a deterministic
+  reduction; plain scatter has unspecified duplicate order in XLA).
+* z-buffer (utils/eval_helpers_intra.py:134-160): per-pixel min camera-Z of
+  all occupied voxels, Z > 1e-6 validity — a ``segment_min``, replacing the
+  reference's per-point interpreted Python loop (its stage-4 bottleneck).
+* visibility-aware part projection (utils/eval_helpers_intra.py:168-190):
+  pixel on iff some part point has |Z - zbuf| < eps.
+* per-part color-exact IoU (utils/camera_estimation.py:770-788) in the
+  integer label domain.
+
+All functions are fixed-shape (padded point sets with a validity mask) and
+jit/vmap friendly — the mask-IoU camera search vmaps ``splat_labels`` +
+``partwise_iou`` over hundreds of candidate cameras at once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pbr3d.camera.geometry import project_points
+
+
+def _pixel_index(
+    u: jax.Array, v: jax.Array, valid: jax.Array, H: int, W: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Round to integer pixels; returns (flat index with dump bucket H*W, valid)."""
+    ui = jnp.round(u).astype(jnp.int32)  # jnp.round == numpy banker's rounding
+    vi = jnp.round(v).astype(jnp.int32)
+    ok = valid & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+    pix = jnp.where(ok, vi * W + ui, H * W)
+    return pix, ok
+
+
+def splat_labels(
+    pts: jax.Array,
+    labels: jax.Array,
+    point_valid: jax.Array,
+    cam_pos, target, f, cx, cy,
+    H: int, W: int,
+) -> jax.Array:
+    """Project labeled points to an (H, W) uint8 label image, last-write-wins.
+
+    ``pts (N, 3)`` float32, ``labels (N,)`` uint8/int32, ``point_valid (N,)``
+    bool (padding mask).
+    """
+    N = pts.shape[0]
+    u, v, _ = project_points(pts, cam_pos, target, f, cx, cy)
+    pix, ok = _pixel_index(u, v, point_valid, H, W)
+    order = jnp.arange(N, dtype=jnp.int32)
+    winner = jax.ops.segment_max(
+        jnp.where(ok, order, -1), pix, num_segments=H * W + 1,
+        indices_are_sorted=False,
+    )[: H * W]
+    img = jnp.where(
+        winner >= 0,
+        jnp.take(labels.astype(jnp.int32), jnp.clip(winner, 0, N - 1)),
+        0,
+    )
+    return img.reshape(H, W).astype(jnp.uint8)
+
+
+def zbuffer(
+    pts: jax.Array,
+    point_valid: jax.Array,
+    cam_pos, target, f, cx, cy,
+    H: int, W: int,
+    z_valid_min: float = 1e-6,
+) -> jax.Array:
+    """(H, W) float32 min-Z buffer (inf where nothing projects)."""
+    u, v, Z = project_points(pts, cam_pos, target, f, cx, cy)
+    pix, ok = _pixel_index(u, v, point_valid & (Z > z_valid_min), H, W)
+    INF = jnp.float32(jnp.inf)
+    zb = jax.ops.segment_min(
+        jnp.where(ok, Z.astype(jnp.float32), INF), pix, num_segments=H * W + 1
+    )[: H * W]
+    return zb.reshape(H, W)
+
+
+def project_visible(
+    pts: jax.Array,
+    point_valid: jax.Array,
+    zbuf: jax.Array,
+    cam_pos, target, f, cx, cy,
+    eps: float = 1e-3,
+    z_valid_min: float = 1e-6,
+) -> jax.Array:
+    """(H, W) bool mask of pixels where some point is within eps of the z-buffer."""
+    H, W = zbuf.shape
+    u, v, Z = project_points(pts, cam_pos, target, f, cx, cy)
+    pix, ok = _pixel_index(u, v, point_valid & (Z > z_valid_min), H, W)
+    zb_at = jnp.take(zbuf.ravel(), jnp.clip(pix, 0, H * W - 1))
+    hit = ok & (jnp.abs(Z - zb_at) < eps)
+    count = jax.ops.segment_sum(
+        hit.astype(jnp.int32), pix, num_segments=H * W + 1
+    )[: H * W]
+    return (count > 0).reshape(H, W)
+
+
+def partwise_iou(
+    proj_labels: jax.Array,
+    gt_labels: jax.Array,
+    part_ids: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Color-exact per-part IoU + mean (reference: camera_estimation.py:770-788).
+
+    Parts with empty union contribute IoU 0.0 to the mean, as in the
+    reference.  Returns (per-part (K,), mean scalar).
+    """
+    p = proj_labels.reshape(-1)[None, :] == part_ids[:, None]  # (K, HW)
+    g = gt_labels.reshape(-1)[None, :] == part_ids[:, None]
+    inter = jnp.sum(p & g, axis=1).astype(jnp.float32)
+    union = jnp.sum(p | g, axis=1).astype(jnp.float32)
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0)
+    return iou, jnp.mean(iou)
+
+
+def binary_iou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """IoU of two boolean masks; NaN when the union is empty
+    (reference: eval_helpers_intra.py:268-271)."""
+    inter = jnp.sum(a & b).astype(jnp.float32)
+    union = jnp.sum(a | b).astype(jnp.float32)
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1.0), jnp.nan)

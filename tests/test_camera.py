@@ -1,0 +1,123 @@
+"""Stage-2 camera estimation vs oracles (scipy optimizer, numpy restatements)."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.ndimage
+import scipy.optimize
+
+from pbr3d import config
+from pbr3d.camera.estimate import (
+    auto_compute_initial_params_matching_bbox,
+    optimize_camera_with_keypoints,
+    default_bounds,
+)
+from pbr3d.camera.keypoints import (
+    extract_minaret_kps_for_view,
+    extract_minaret_voxels_by_label,
+)
+from pbr3d.camera.align import evaluate_camera_iou, refine_camera_mask_iou
+from pbr3d.config import rgb_to_labels
+from pbr3d.io.masks import load_mask_labels
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "oracle_Akbar_128.npz")
+
+
+@pytest.fixture(scope="module")
+def akbar_grid():
+    return rgb_to_labels(np.load(FIXTURE)["final"])
+
+
+@pytest.fixture(scope="module")
+def akbar_front_mask(data_root):
+    return load_mask_labels(data_root, "Akbar", "front", 128)
+
+
+def test_minaret_voxels_match_scipy_oracle(akbar_grid):
+    """Restate the reference's extraction with scipy.ndimage directly."""
+    ours = extract_minaret_voxels_by_label(akbar_grid)
+
+    comps = []
+    for part in ("front_minarets", "back_minarets"):
+        mask = akbar_grid == config.PART_IDS[part]
+        lab, n = scipy.ndimage.label(mask)
+        for cid in range(1, n + 1):
+            coords = np.argwhere(lab == cid)
+            comps.append((coords.mean(0), np.ptp(coords[:, 1]), coords))
+    assert len(comps) >= 4
+    top4 = sorted(comps, key=lambda c: -c[1])[:4]
+    cents = np.stack([c[0] for c in top4])
+    order = np.argsort(cents[:, 0])
+    left = sorted(order[:2], key=lambda i: cents[i, 2])
+    right = sorted(order[2:], key=lambda i: cents[i, 2])
+    expect = {
+        "LM1": top4[left[0]][2], "LM2": top4[left[1]][2],
+        "RM1": top4[right[0]][2], "RM2": top4[right[1]][2],
+    }
+    for k in expect:
+        np.testing.assert_array_equal(np.sort(ours[k], 0), np.sort(expect[k], 0))
+
+
+def test_kps_and_bbox_init(akbar_grid, akbar_front_mask):
+    vox_kps, img_kps = extract_minaret_kps_for_view(akbar_grid, akbar_front_mask)
+    assert set(k.split("_")[0] for k in vox_kps) <= {"LM1", "LM2", "RM1", "RM2"}
+    # M2 anchors: top only
+    assert not any(("2" in k.split("_")[0]) and k.endswith("bottom") for k in vox_kps)
+
+    init = auto_compute_initial_params_matching_bbox(
+        akbar_grid, akbar_front_mask, ["front_minarets", "back_minarets"]
+    )
+    H, W = akbar_front_mask.shape
+    assert init["cx"] == W / 2 and init["cy"] == H / 2
+    assert init["cam_pos"][2] < init["target"][2]  # camera on -Z side
+
+
+def test_keypoint_fit_beats_scipy_lbfgsb(akbar_grid, akbar_front_mask):
+    vox_kps, img_kps = extract_minaret_kps_for_view(akbar_grid, akbar_front_mask)
+    init = auto_compute_initial_params_matching_bbox(
+        akbar_grid, akbar_front_mask, ["front_minarets", "back_minarets"]
+    )
+    H, W = akbar_front_mask.shape
+    ours = optimize_camera_with_keypoints(vox_kps, img_kps, (H, W), init)
+
+    # The reference's optimizer restated: scipy L-BFGS-B on the same objective.
+    keys = list(img_kps.keys())
+    vox = np.stack([vox_kps[k] for k in keys]).astype(np.float64)
+    img = np.stack([img_kps[k] for k in keys]).astype(np.float64)
+
+    def np_loss(x):
+        eye, tgt = x[0:3], x[3:6]
+        z = tgt - eye
+        z = z / np.linalg.norm(z)
+        up = np.array([0, 1, 0.0])
+        if np.allclose(abs(z @ up), 1):
+            up = np.array([0, 0, 1.0])
+        xx = np.cross(up, z); xx /= np.linalg.norm(xx)
+        yy = np.cross(z, xx)
+        R = np.stack([xx, yy, z])
+        pc = (vox - eye) @ R.T
+        Z = np.maximum(pc[:, 2], 1e-8)
+        u = pc[:, 0] / Z * x[6] + x[7]
+        v = -pc[:, 1] / Z * x[6] + x[8]
+        return np.sum((np.stack([u, v], 1) - img) ** 2)
+
+    lo, hi = default_bounds(H, W)
+    x0 = np.concatenate([init["cam_pos"], init["target"],
+                         [init["f"], init["cx"], init["cy"]]])
+    res = scipy.optimize.minimize(
+        np_loss, x0, bounds=list(zip(lo, hi)), method="L-BFGS-B"
+    )
+    assert ours["loss"] <= res.fun * 1.05 + 1e-3, (ours["loss"], res.fun)
+
+
+def test_mask_iou_refinement_improves(akbar_grid, akbar_front_mask):
+    parts = ["front_minarets", "back_minarets"]
+    init = auto_compute_initial_params_matching_bbox(akbar_grid, akbar_front_mask, parts)
+    iou0 = evaluate_camera_iou(akbar_grid, akbar_front_mask, parts, init)
+    final, iou1 = refine_camera_mask_iou(
+        akbar_grid, akbar_front_mask, parts, init,
+        generations=5, population=16, cd_rounds=2, seed=0,
+    )
+    assert iou1 >= iou0
+    assert final["H"] == akbar_front_mask.shape[0]
