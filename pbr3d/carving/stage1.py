@@ -71,9 +71,7 @@ def global_carve(
     """
     h, w = binary_mask.shape
     occ = jnp.ones((w, h, w), jnp.float32)
-    carved = rotate_carve_sweep_jit(
-        occ, jnp.asarray(np.ascontiguousarray(binary_mask.T)), angle_interval
-    )
+    carved = rotate_carve_sweep_jit(occ, jnp.asarray(binary_mask).T, angle_interval)
     # Paint: label of a voxel = exterior label of its (x, y) column
     # (reference ``apply_colored_mask_to_voxel_grid``, :128-136).  Blend/other
     # and background pixels cannot survive the binary carve's own column mask
@@ -81,7 +79,7 @@ def global_carve(
     # exterior mask, whose background pixels DO get painted wherever carving
     # kept the column; the binary mask excludes background columns, so the
     # two agree.
-    col = jnp.asarray(np.ascontiguousarray(exterior_labels.T))  # (W, H)
+    col = jnp.asarray(exterior_labels).T  # (W, H)
     return (carved.astype(jnp.uint8)) * col[:, :, None]
 
 
@@ -100,14 +98,16 @@ def part_carve(
     Groups whose 2D mask is empty are skipped; later groups overwrite earlier
     ones where nonzero (reference: voxel_carving_utils.py:139-160).
     """
-    W, H = labels_grid.shape[:2]
     final = jnp.zeros_like(labels_grid)
     for names, angle in group_jobs:
         ids = config.part_ids(names)
-        mask2d = np.isin(exterior_labels, ids)  # (H, W)
-        if not mask2d.any():
-            continue
-        m_wh = jnp.asarray(np.ascontiguousarray(mask2d.T))  # (W, H) bool
+        if isinstance(exterior_labels, np.ndarray):
+            mask2d = np.isin(exterior_labels, ids)  # (H, W)
+            if not mask2d.any():  # host fast path: skip empty groups
+                continue
+            m_wh = jnp.asarray(np.ascontiguousarray(mask2d.T))  # (W, H)
+        else:  # traced: empty groups are a no-op anyway (carve of zeros)
+            m_wh = jnp.isin(exterior_labels, jnp.asarray(ids)).T
         sub = labels_grid * m_wh.astype(jnp.uint8)[:, :, None]
         occ = (sub > 0).astype(jnp.float32)
         carved = rotate_carve_sweep_jit(occ, m_wh, int(angle))

@@ -92,6 +92,17 @@ GOLDEN_MAX_DIM: Dict[str, int] = {
     "Taj": 512,
 }
 
+#: Zero-padding appended to grid dim 1 before stage-3 deformation
+#: (measured from the golden stage-3 shapes; the committed notebook-3 cell 6
+#: pads by zero, but the golden runs padded these monuments by +60).
+STAGE3_PAD: Dict[str, int] = {
+    "Akbar": 0,
+    "Bibi": 60,
+    "Charminar": 0,
+    "Itimad": 60,
+    "Taj": 60,
+}
+
 
 # ---------------------------------------------------------------------------
 # Stage-1 carving presets (reference: notebook 1 cell 7).

@@ -1,0 +1,174 @@
+"""IoU-driven search over the 4-DoF part deformation.
+
+Replaces the reference's interactive slider viewer
+(``launch_deform_viewer_fixed_camera``, utils/deformation_estimation.py:15-356)
+with an automated optimizer over the same objective: per-part color-exact IoU
+of the splat projection of the deformed part under the fixed stage-2 camera.
+
+TPU-native shape: a whole *population* of candidate deforms is evaluated in
+one vmapped program (warp -> splat -> IoU per candidate), chunked to bound
+memory; coarse grid search over the slider ranges, then a local refinement —
+the automated analogue of the reference's (commented-out) two-step auto-align
+(deformation_estimation.py:148-259), whose ranges we reuse.
+Point sets are optionally strided during search exactly like the reference's
+``project_fast`` (:34-38), with the final IoU computed on the full set.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbr3d import config
+from pbr3d.camera.geometry import params_to_vector
+from pbr3d.carving.voxel import bucket_size, pad_points, points_by_parts
+from pbr3d.deform.warp import deform_coords
+from pbr3d.ops.projection import partwise_iou, splat_labels
+
+IDENTITY_DEFORM = np.array([1.0, 0.0, 1.0, 0.0], np.float32)  # sy, dy, sxz, dxz
+
+
+@functools.partial(
+    jax.jit, static_argnames=("part_id", "H", "W", "voxel_shape", "image_hw")
+)
+def _batch_deform_iou(
+    deforms: jax.Array,  # (P, 4)
+    coords: jax.Array,  # (N, 3) f32
+    valid: jax.Array,  # (N,)
+    cam_vec: jax.Array,  # (9,)
+    gt_labels: jax.Array,  # (H, W)
+    part_id: int,
+    H: int,
+    W: int,
+    voxel_shape: Tuple[int, int, int],
+    image_hw: Tuple[int, int],
+) -> jax.Array:
+    ids = jnp.array([part_id], jnp.int32)
+
+    def one(d):
+        c, v = deform_coords(coords, valid, image_hw, voxel_shape, d)
+        img = splat_labels(
+            c.astype(jnp.float32),
+            jnp.full((c.shape[0],), part_id, jnp.uint8),
+            v,
+            cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
+            H, W,
+        )
+        return partwise_iou(img, gt_labels, ids)[0][0]
+
+    return jax.vmap(one)(deforms)
+
+
+def _eval_chunked(deforms: np.ndarray, chunk: int, **kw) -> np.ndarray:
+    outs = []
+    P = deforms.shape[0]
+    pad = (-P) % chunk
+    d = np.concatenate([deforms, np.tile(IDENTITY_DEFORM, (pad, 1))]) if pad else deforms
+    for i in range(0, len(d), chunk):
+        outs.append(np.asarray(_batch_deform_iou(jnp.asarray(d[i : i + chunk]), **kw)))
+    return np.concatenate(outs)[:P]
+
+
+def optimize_part_deform(
+    grid_labels: np.ndarray,
+    part: str,
+    mask_labels: np.ndarray,
+    cam: Dict,
+    *,
+    search_stride: int = 8,
+    scale_range: Tuple[float, float, int] = (0.8, 1.2, 7),
+    shift_range: Tuple[float, float, int] = (-60.0, 60.0, 9),
+    refine_steps: int = 5,
+    chunk: int = 64,
+) -> Tuple[np.ndarray, float]:
+    """Best (scale_y, shift_y, scale_xz, shift_xz) for one part + its IoU.
+
+    Search uses every ``search_stride``-th point (reference project_fast);
+    the returned IoU is re-evaluated on the full point set.
+    """
+    pid = config.PART_IDS[part]
+    pts, _ = points_by_parts(grid_labels, [part])
+    if len(pts) == 0:
+        return IDENTITY_DEFORM.copy(), 0.0
+    voxel_shape = tuple(int(s) for s in np.asarray(grid_labels).shape[:3])
+    H, W = mask_labels.shape[:2]
+
+    def padded(p):
+        return pad_points(p, np.full(len(p), pid, np.uint8), bucket_size(len(p)))
+
+    sub = pts[::search_stride]
+    p_s, _, v_s = padded(sub)
+    p_f, _, v_f = padded(pts)
+    gt = jnp.asarray(mask_labels)
+    cam_vec = jnp.asarray(params_to_vector(cam))
+
+    def ev(deforms, pp, vv):
+        return _eval_chunked(
+            np.asarray(deforms, np.float32), chunk,
+            coords=jnp.asarray(pp), valid=jnp.asarray(vv), cam_vec=cam_vec,
+            gt_labels=gt, part_id=pid, H=H, W=W,
+            voxel_shape=voxel_shape, image_hw=(H, W),
+        )
+
+    s0, s1, ns = scale_range
+    d0, d1, nd = shift_range
+    scales = np.linspace(s0, s1, ns)
+    shifts = np.linspace(d0, d1, nd)
+    coarse = np.array(
+        [(sy, dy, sxz, dxz) for sy, sxz, dy, dxz in
+         itertools.product(scales, scales, shifts, shifts)],
+        np.float32,
+    )
+    # Always include identity so we can never regress below it.
+    coarse = np.concatenate([IDENTITY_DEFORM[None], coarse])
+    ious = ev(coarse, p_s, v_s)
+    best = coarse[int(np.argmax(ious))]
+
+    # local refinement around the coarse optimum
+    rs = np.linspace(-0.05, 0.05, refine_steps)
+    rd = np.linspace(-10.0, 10.0, refine_steps)
+    fine = np.array(
+        [best + np.array([a, b, c, d], np.float32)
+         for a, c, b, d in itertools.product(rs, rs, rd, rd)],
+        np.float32,
+    )
+    fine = np.concatenate([best[None], fine])
+    ious = ev(fine, p_s, v_s)
+    best = fine[int(np.argmax(ious))]
+
+    final_iou = float(ev(best[None], p_f, v_f)[0])
+    return np.asarray(best, np.float32), final_iou
+
+
+def refine_parts(
+    grid_labels: np.ndarray,
+    mask_labels: np.ndarray,
+    cam: Dict,
+    part_names: Sequence[str] | None = None,
+    **kw,
+) -> Dict[str, Dict]:
+    """Optimize every (present) part; returns {part: {deform, iou}} like the
+    reference's saved_params (deformation_estimation.py:262-286)."""
+    if part_names is None:
+        part_names = [p for p in config.PART_NAMES if p != "background"]
+    present = set(np.unique(np.asarray(grid_labels)))
+    out = {}
+    for part in part_names:
+        if config.PART_IDS[part] not in present:
+            continue
+        deform, iou = optimize_part_deform(grid_labels, part, mask_labels, cam, **kw)
+        out[part] = {
+            "deform": {
+                "scale_y": float(deform[0]),
+                "shift_y": float(deform[1]),
+                "scale_xz": float(deform[2]),
+                "shift_xz": float(deform[3]),
+            },
+            "iou": iou,
+        }
+    return out

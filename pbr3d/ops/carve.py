@@ -10,8 +10,14 @@ Reference semantics (utils/voxel_carving_utils.py):
   interval 90 this is classic two-view symmetric carving; with interval 5 it
   approximates a surface of revolution (19 carves).
 
-All functions take/return float32 {0,1} occupancy grids of shape (W, H, D)
-and are jit-friendly (static angles, static shapes).
+TPU design: the whole sweep is ONE jit-compiled program — a ``lax.scan`` over
+the per-angle rotation plans (corner gather indices + the bit-exact binary
+decision LUTs of pbr3d.ops.rotate), which are *device arguments*, not baked
+constants.  The compiled executable is therefore keyed only by (grid shape,
+number of sweep steps): every component crop of the same shape and every
+angle schedule of the same length reuse one executable — critical because
+this pipeline compiles against a remote-TPU toolchain where each distinct
+program is expensive to build.
 """
 
 from __future__ import annotations
@@ -20,8 +26,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from pbr3d.ops.rotate import rotate_y_binary_u8
+from pbr3d.ops.rotate import lut_plan
 
 
 def carve_with_mask(occ: jax.Array, mask_wh: jax.Array) -> jax.Array:
@@ -34,24 +41,59 @@ def sweep_angles(angle_interval: int) -> tuple:
     return tuple(range(0, 91, int(angle_interval)))
 
 
+@functools.lru_cache(maxsize=256)
+def _stacked_plans(W: int, D: int, angle_interval: int):
+    """Stacked (A, 4, N) int32 indices + (A, N) int32 decision LUTs for the
+    non-zero sweep angles (the 0° step is a pure mask multiply)."""
+    angles = [a for a in sweep_angles(angle_interval) if a % 360 != 0]
+    if not angles:
+        return (
+            np.zeros((0, 4, W * D), np.int32),
+            np.zeros((0, W * D), np.int32),
+        )
+    idxs, decs = zip(*(lut_plan(W, D, float(a)) for a in angles))
+    return np.stack(idxs), np.stack(decs)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _sweep_scan(g2: jax.Array, m2: jax.Array, idx: jax.Array, dec: jax.Array):
+    """g2 (H, N) int32 occupancy; m2 (H, N) int32 column mask;
+    idx (A, 4, N); dec (A, N)."""
+    g2 = g2 * m2  # the 0° identity step
+
+    def body(g, plan):
+        pidx, pdec = plan
+        code = jnp.zeros_like(g)
+        for k in range(4):
+            code = code | (jnp.take(g, pidx[k], axis=1) << k)
+        out = (jnp.right_shift(pdec[None, :], code) & 1)
+        return out * m2, None
+
+    g2, _ = jax.lax.scan(body, g2, (idx, dec))
+    return g2
+
+
 def rotate_carve_sweep(
     occ: jax.Array, mask_wh: jax.Array, angle_interval: int
 ) -> jax.Array:
-    """Cumulative rotate-and-carve sweep (reference ``process_voxel_grid``).
+    """Cumulative rotate-and-carve sweep (reference ``process_voxel_grid``),
+    bit-exact vs the scipy uint8 path.
 
-    ``occ``: (W, H, D) float32 {0,1}; ``mask_wh``: (W, H) — any nonzero kept.
-    NOTE: the output grid ends up rotated by the *sum* of the step angles
-    (e.g. 90° total for interval 90), exactly as in the reference.
+    ``occ``: (W, H, D) float/uint8/bool {0,1}; ``mask_wh``: (W, H) — any
+    nonzero kept.  NOTE: the output grid ends up rotated by the *sum* of the
+    step angles (e.g. 90° total for interval 90), exactly as in the
+    reference.
     """
-    m = (mask_wh > 0).astype(occ.dtype)[:, :, None]
-    for angle in sweep_angles(angle_interval):
-        occ = rotate_y_binary_u8(occ, angle)
-        occ = occ * m
-    return occ
+    W, H, D = occ.shape
+    dtype = occ.dtype
+    idx, dec = _stacked_plans(W, D, int(angle_interval))
+    g2 = (jnp.transpose(occ, (1, 0, 2)).reshape(H, W * D) > 0).astype(jnp.int32)
+    m2 = jnp.broadcast_to(
+        (jnp.asarray(mask_wh) > 0).astype(jnp.int32).T[:, :, None], (H, W, D)
+    ).reshape(H, W * D)
+    out = _sweep_scan(g2, m2, jnp.asarray(idx), jnp.asarray(dec))
+    return jnp.transpose(out.reshape(H, W, D), (1, 0, 2)).astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("angle_interval",))
-def rotate_carve_sweep_jit(
-    occ: jax.Array, mask_wh: jax.Array, angle_interval: int
-) -> jax.Array:
-    return rotate_carve_sweep(occ, mask_wh, angle_interval)
+# Back-compat alias (the sweep is fully jit'd internally).
+rotate_carve_sweep_jit = rotate_carve_sweep

@@ -28,7 +28,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from pbr3d.camera.geometry import project_points
+from pbr3d.ops.cameramath import project_points
 
 
 def _pixel_index(

@@ -163,6 +163,26 @@ def _binary_plan(W: int, D: int, angle_deg: float):
     return idx, dec
 
 
+@functools.lru_cache(maxsize=512)
+def lut_plan(W: int, D: int, angle_deg: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Uniform LUT form of the binary rotation for ANY angle.
+
+    Returns ``(idx (4, W*D) int32, dec (W*D) int32)`` usable by the scan-based
+    carve sweep: gather the 4 corner occupancies, form a 4-bit code, and read
+    the per-pixel decision bit.  Exact-permutation angles are encoded with all
+    four corners equal to the source cell and decision mask 0xAAAA (out =
+    corner-0 bit) gated by the inside mask — so every angle shares one device
+    program shape.
+    """
+    plan = _binary_plan(W, D, float(angle_deg))
+    if plan is not None:
+        return plan
+    idx1, w1 = _gather_plan(W, D, float(angle_deg))  # permutation form
+    idx = np.broadcast_to(idx1[0], (4, idx1.shape[1])).copy()
+    dec = np.where(w1[0] > 0, np.int32(0xAAAA), np.int32(0)).astype(np.int32)
+    return idx, dec
+
+
 def rotate_y_binary_u8(grid: jax.Array, angle_deg: float) -> jax.Array:
     """Rotate a {0,1} grid, bit-exactly reproducing scipy's uint8 path.
 

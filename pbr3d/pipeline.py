@@ -1,0 +1,198 @@
+"""End-to-end reconstruction pipeline — the notebooks' cell-level API as pure
+functions with the reference's artifact formats.
+
+Stage boundaries and file formats match the reference exactly
+(npz voxel grids under ``1.Orthographic_Voxel_Carving`` /
+``3.Part-wise_3D_Refinement``, camera JSONs ``{init,kp,final} x {view}`` under
+``2.Perspective_Camera_Estimation``; reference: notebooks 1-3 save cells), so
+a user can swap either implementation per stage and downstream stages / the
+evaluation notebooks keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from pbr3d import config
+from pbr3d.camera.align import refine_camera_mask_iou
+from pbr3d.camera.estimate import (
+    auto_compute_initial_params_matching_bbox,
+    optimize_camera_with_keypoints,
+)
+from pbr3d.camera.keypoints import extract_minaret_kps_for_view
+from pbr3d.carving.stage1 import carve_monument
+from pbr3d.deform.search import refine_parts
+from pbr3d.deform.warp import build_deformed_grid
+from pbr3d.carving.voxel import bucket_size, pad_points, points_by_parts
+from pbr3d.io.artifacts import save_camera_params, save_voxel_grid
+from pbr3d.io.masks import load_mask_labels, prepare_masks
+
+ALIGN_PARTS = ("front_minarets", "back_minarets")  # notebook 2 cells 5/9
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    monument: str
+    grid_stage1: np.ndarray  # uint8 labels
+    cameras: Dict[str, Dict[str, Dict]]  # tag -> view -> params
+    deform_params: Dict[str, Dict]
+    grid_stage3: np.ndarray
+    timings: Dict[str, float]
+
+
+def run_stage1(
+    monument: str,
+    data_root: str | Path = "/root/reference/data",
+    max_dim: Optional[int] = None,
+    preset: config.CarvePreset = config.DEFAULT_CARVE_PRESET,
+    out_dir: Optional[str | Path] = None,
+) -> np.ndarray:
+    """Orthographic semantic voxel carving (notebook 1)."""
+    if max_dim is None:
+        max_dim = config.GOLDEN_MAX_DIM.get(monument, config.MAX_DIM)
+    masks = prepare_masks(data_root, monument, "front", max_dim)
+    grid = np.asarray(carve_monument(masks, preset))
+    if out_dir is not None:
+        save_voxel_grid(
+            Path(out_dir) / "1.Orthographic_Voxel_Carving" / f"{monument}_voxel_grid.npz",
+            grid,
+        )
+    return grid
+
+
+def run_stage2(
+    monument: str,
+    grid_labels: np.ndarray,
+    data_root: str | Path = "/root/reference/data",
+    out_dir: Optional[str | Path] = None,
+    *,
+    generations: int = 40,
+    population: int = 64,
+    seed: int = 0,
+) -> Dict[str, Dict[str, Dict]]:
+    """Perspective camera estimation (notebook 2): init -> kp -> final per view.
+
+    Views that fail minaret extraction are skipped, mirroring the notebook's
+    try/except (notebook 2 cell 5).
+    """
+    max_dim = int(np.max(grid_labels.shape))
+    views = {
+        "front": load_mask_labels(data_root, monument, "front", max_dim),
+        "drone": load_mask_labels(data_root, monument, "drone"),
+    }
+
+    init_params: Dict[str, Dict] = {}
+    kp_params: Dict[str, Dict] = {}
+    final_params: Dict[str, Dict] = {}
+    for view, mask in views.items():
+        try:
+            vox_kps, img_kps = extract_minaret_kps_for_view(grid_labels, mask)
+            init = auto_compute_initial_params_matching_bbox(
+                grid_labels, mask, list(ALIGN_PARTS)
+            )
+        except ValueError as e:
+            print(f"[stage2] {monument}/{view} skipped: {e}")
+            continue
+        init_params[view] = init
+        kp_params[view] = optimize_camera_with_keypoints(
+            vox_kps, img_kps, mask.shape[:2], init
+        )
+        final_params[view], _ = refine_camera_mask_iou(
+            grid_labels, mask, list(ALIGN_PARTS), kp_params[view],
+            generations=generations, population=population, seed=seed,
+        )
+
+    cameras = {"init": init_params, "kp": kp_params, "final": final_params}
+    if out_dir is not None:
+        base = Path(out_dir) / "2.Perspective_Camera_Estimation"
+        for tag, params in cameras.items():
+            save_camera_params(
+                base / f"{monument}_camera_params_{tag}.json",
+                {v: {k: p[k] for k in p if k != "loss"} for v, p in params.items()},
+            )
+    return cameras
+
+
+def run_stage3(
+    monument: str,
+    grid_labels: np.ndarray,
+    cam_final_front: Dict,
+    data_root: str | Path = "/root/reference/data",
+    out_dir: Optional[str | Path] = None,
+    pad: Optional[int] = None,
+    part_names: Optional[Sequence[str]] = None,
+    **search_kw,
+):
+    """Part-wise 3D refinement (notebook 3) under the fixed front camera."""
+    if pad is None:
+        pad = config.STAGE3_PAD.get(monument, 0)
+    if pad:
+        grid_labels = np.pad(grid_labels, ((0, 0), (0, pad), (0, 0)))
+    max_dim = int(np.max(grid_labels.shape))
+    mask = load_mask_labels(data_root, monument, "front", max_dim)
+
+    deforms = refine_parts(grid_labels, mask, cam_final_front, part_names, **search_kw)
+    part_points = {}
+    for part in deforms:
+        pts, _ = points_by_parts(grid_labels, [part])
+        p, _, v = pad_points(pts, np.zeros(len(pts), np.uint8), bucket_size(len(pts)))
+        part_points[part] = (p, v)
+    deform_vecs = {
+        p: np.array(
+            [d["deform"]["scale_y"], d["deform"]["shift_y"],
+             d["deform"]["scale_xz"], d["deform"]["shift_xz"]], np.float32)
+        for p, d in deforms.items()
+    }
+    deformed = build_deformed_grid(grid_labels, part_points, deform_vecs, mask.shape[:2])
+    if out_dir is not None:
+        save_voxel_grid(
+            Path(out_dir) / "3.Part-wise_3D_Refinement" / f"{monument}_deformed_voxel_grid.npz",
+            deformed,
+        )
+    return deforms, deformed
+
+
+def run_pipeline(
+    monument: str,
+    data_root: str | Path = "/root/reference/data",
+    max_dim: Optional[int] = None,
+    out_dir: Optional[str | Path] = None,
+    *,
+    stage2_kw: Optional[Dict] = None,
+    stage3_kw: Optional[Dict] = None,
+) -> PipelineResult:
+    """Full 3-stage reconstruction of one monument."""
+    timings = {}
+    t = time.perf_counter()
+    grid1 = run_stage1(monument, data_root, max_dim, out_dir=out_dir)
+    timings["stage1"] = time.perf_counter() - t
+
+    t = time.perf_counter()
+    cameras = run_stage2(monument, grid1, data_root, out_dir, **(stage2_kw or {}))
+    timings["stage2"] = time.perf_counter() - t
+
+    t = time.perf_counter()
+    if not cameras["final"]:
+        raise RuntimeError(
+            f"{monument}: no view passed camera estimation (all views skipped); "
+            "cannot run stage 3"
+        )
+    cam_front = cameras["final"].get("front") or next(iter(cameras["final"].values()))
+    deforms, grid3 = run_stage3(
+        monument, grid1, cam_front, data_root, out_dir, **(stage3_kw or {})
+    )
+    timings["stage3"] = time.perf_counter() - t
+
+    return PipelineResult(monument, grid1, cameras, deforms, grid3, timings)
+
+
+def run_all(
+    monuments: Sequence[str] = tuple(config.MONUMENTS),
+    **kw,
+) -> Dict[str, PipelineResult]:
+    return {m: run_pipeline(m, **kw) for m in monuments}

@@ -1,0 +1,109 @@
+"""Stage-3 warp vs a literal numpy restatement of the reference deform."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pbr3d.deform.warp import deform_coords, build_deformed_grid
+from pbr3d.deform.search import optimize_part_deform
+from pbr3d import config
+
+
+def _np_deform(coords, image_shape, voxel_shape, deform):
+    """Reference semantics: per-jittered-copy centering + unique."""
+    def one_pass(c):
+        center = c.mean(axis=0, keepdims=True)
+        c = c - center
+        H_img, W_img = image_shape
+        D, H, W = voxel_shape
+        c2 = c.copy()
+        c2[:, 0] = c[:, 0] * deform["scale_xz"] + deform["shift_xz"] * (W / W_img) * np.sign(c[:, 0])
+        c2[:, 1] = c[:, 1] * deform["scale_y"] - deform["shift_y"] * (H / H_img)
+        c2[:, 2] = c[:, 2] * deform["scale_xz"] + deform["shift_xz"] * (D / W_img) * np.sign(c[:, 2])
+        return np.round(c2 + center).astype(int)
+
+    offsets = np.array(
+        [[0, 0, 0], [0.25, 0, 0], [-0.25, 0, 0], [0, 0.25, 0],
+         [0, -0.25, 0], [0, 0, 0.25], [0, 0, -0.25]]
+    )
+    allc = [one_pass(coords + off) for off in offsets]
+    return np.unique(np.vstack(allc), axis=0)
+
+
+@pytest.mark.parametrize(
+    "deform",
+    [
+        {"scale_y": 1.0, "shift_y": 0.0, "scale_xz": 1.0, "shift_xz": 0.0},
+        {"scale_y": 1.17, "shift_y": -23.0, "scale_xz": 0.88, "shift_xz": 11.0},
+    ],
+)
+def test_deform_coords_set_equal(rng, deform):
+    coords = rng.uniform(2, 28, (300, 3)).astype(np.float32)
+    voxel_shape = (32, 32, 32)
+    image_hw = (40, 40)
+
+    ref = _np_deform(coords.astype(np.float64), image_hw, voxel_shape, deform)
+    # in-bounds filter as the reference applies downstream
+    ok = (
+        (ref[:, 0] >= 0) & (ref[:, 0] < voxel_shape[2])
+        & (ref[:, 1] >= 0) & (ref[:, 1] < voxel_shape[1])
+        & (ref[:, 2] >= 0) & (ref[:, 2] < voxel_shape[0])
+    )
+    ref_set = set(map(tuple, ref[ok]))
+
+    d = jnp.asarray(
+        [deform["scale_y"], deform["shift_y"], deform["scale_xz"], deform["shift_xz"]],
+        jnp.float32,
+    )
+    out, valid = deform_coords(
+        jnp.asarray(coords), jnp.ones(len(coords), bool), image_hw, voxel_shape, d
+    )
+    ours_set = set(map(tuple, np.asarray(out)[np.asarray(valid)]))
+    # float32 vs float64 rounding can flip a handful of exact .5 boundaries
+    sym_diff = len(ref_set ^ ours_set)
+    assert sym_diff <= max(2, len(ref_set) // 200), (sym_diff, len(ref_set))
+
+
+def test_build_deformed_grid_identity(rng):
+    grid = np.zeros((16, 16, 16), np.uint8)
+    pid = config.PART_IDS["dome"]
+    grid[4:8, 5:9, 6:10] = pid
+    d0, d1, d2 = np.where(grid > 0)
+    pts = np.stack([d2, d1, d0], 1).astype(np.float32)
+    part_points = {"dome": (pts, np.ones(len(pts), bool))}
+    deforms = {"dome": np.array([1, 0, 1, 0], np.float32)}
+    out = build_deformed_grid(grid, part_points, deforms, (16, 16))
+    # identity deform must reproduce the part (up to jitter-rounding growth)
+    assert set(map(tuple, np.argwhere(out == pid))) >= set(map(tuple, np.argwhere(grid == pid)))
+
+
+def test_optimize_part_deform_recovers_shift():
+    # Build a grid whose dome projects offset from the GT mask; the search
+    # should find a deform that improves IoU over identity.
+    grid = np.zeros((48, 48, 48), np.uint8)
+    pid = config.PART_IDS["dome"]
+    grid[20:28, 8:20, 20:28] = pid
+    H = W = 48
+    mask = np.zeros((H, W), np.uint8)
+    mask[18:34, 18:34] = pid  # taller GT than the part projects
+    cam = {
+        "cam_pos": np.array([24.0, 24.0, -120.0]),
+        "target": np.array([24.0, 24.0, 24.0]),
+        "f": 100.0, "cx": 24.0, "cy": 24.0,
+    }
+    best, iou = optimize_part_deform(
+        grid, "dome", mask, cam, search_stride=1, chunk=32,
+        scale_range=(0.8, 1.2, 3), shift_range=(-20, 20, 5), refine_steps=3,
+    )
+    from pbr3d.deform.search import _batch_deform_iou, IDENTITY_DEFORM
+    import jax.numpy as jnp
+    from pbr3d.camera.geometry import params_to_vector
+    from pbr3d.carving.voxel import points_by_parts, pad_points, bucket_size
+    pts, _ = points_by_parts(grid, ["dome"])
+    p, _, v = pad_points(pts, np.zeros(len(pts), np.uint8), bucket_size(len(pts)))
+    iou_id = float(_batch_deform_iou(
+        jnp.asarray(IDENTITY_DEFORM)[None], jnp.asarray(p), jnp.asarray(v),
+        params_to_vector(cam), jnp.asarray(mask), pid, H, W,
+        (48, 48, 48), (H, W),
+    )[0])
+    assert iou >= iou_id
