@@ -95,8 +95,22 @@ def refine_camera_mask_iou(
     gt = jnp.asarray(mask_labels_selected(mask_labels, parts_for_alignment))
     ids = jnp.asarray(config.part_ids(parts_for_alignment))
 
+    # Bound per-eval device memory: each candidate materializes a handful of
+    # N-length projection intermediates.
+    chunk = max(1, min(population, (1 << 25) // max(1, p.shape[0])))
+    chunk = 1 << (chunk.bit_length() - 1)  # pow2 -> few compiled shapes
+
     def batch_eval(vecs: np.ndarray) -> np.ndarray:
-        return np.asarray(_batch_iou(jnp.asarray(vecs, jnp.float32), p, l, v, gt, ids, H, W))
+        vecs = np.asarray(vecs, np.float32)
+        P = len(vecs)
+        pad = (-P) % chunk
+        if pad:
+            vecs = np.concatenate([vecs, np.repeat(vecs[-1:], pad, axis=0)])
+        outs = [
+            np.asarray(_batch_iou(jnp.asarray(vecs[i : i + chunk]), p, l, v, gt, ids, H, W))
+            for i in range(0, len(vecs), chunk)
+        ]
+        return np.concatenate(outs)[:P]
 
     def apply_lock(vecs: np.ndarray) -> np.ndarray:
         if lock_xy_equal:

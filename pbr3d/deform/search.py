@@ -64,9 +64,23 @@ def _batch_deform_iou(
     return jax.vmap(one)(deforms)
 
 
-def _eval_chunked(deforms: np.ndarray, chunk: int, **kw) -> np.ndarray:
+#: Max candidate-points resident per vmapped eval (bounds device memory:
+#: each candidate materializes 7x its padded point set plus projections,
+#: ~40 B/point -> ~2.7 GB at this budget).  Large batches matter: dispatch
+#: round-trips to the TPU dominate the search wall time.
+_POINT_BUDGET = 1 << 26
+
+
+def _auto_chunk(n_points: int, chunk_cap: int) -> int:
+    c = max(1, _POINT_BUDGET // max(1, 7 * n_points))
+    c = 1 << (c.bit_length() - 1)  # floor pow2 -> few distinct compiled shapes
+    return int(min(c, chunk_cap))
+
+
+def _eval_chunked(deforms: np.ndarray, chunk_cap: int, **kw) -> np.ndarray:
     outs = []
     P = deforms.shape[0]
+    chunk = _auto_chunk(kw["coords"].shape[0], min(chunk_cap, P))
     pad = (-P) % chunk
     d = np.concatenate([deforms, np.tile(IDENTITY_DEFORM, (pad, 1))]) if pad else deforms
     for i in range(0, len(d), chunk):
