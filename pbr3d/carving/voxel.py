@@ -75,6 +75,47 @@ def extract_top_k_components(
     return out
 
 
+def meshify_colored_voxel_grid(grid_labels: np.ndarray, stride: int = 1):
+    """Surface mesh of a label grid with nearest-voxel vertex colors.
+
+    Reference ``meshify_colored_voxel_grid`` (utils/voxel_utils.py:53-95):
+    marching cubes on the (strided) occupancy at level 0.5, vertices
+    reordered (d0,d1,d2) -> (x,y,z), the stage-1 transpose+flip mirror
+    compensated by ``z -> D - z``, vertex colors from the nearest occupied
+    voxel, normalized to [0, 1].
+
+    Iso-surfacing uses marching tetrahedra (pbr3d.ops.isosurface) and colors
+    use the tiled NN kernel instead of sklearn.  Returns
+    (verts (N,3) f32, faces (M,3) i32, vertex_colors (N,3) f64 in [0,1],
+    normals (M,3) f32 per-face).
+    """
+    from pbr3d.config import labels_to_rgb
+    from pbr3d.ops.isosurface import marching_tetrahedra
+    from pbr3d.ops.neighbors import knn
+
+    grid_labels = np.asarray(grid_labels)
+    g = grid_labels[::stride, ::stride, ::stride] if stride > 1 else grid_labels
+    occ = g > 0
+    verts, faces = marching_tetrahedra(occ.astype(np.float32), 0.5)
+    verts = verts * stride
+
+    # (d0, d1, d2) -> (x, y, z), then undo the stage-1 reorientation mirror.
+    verts = verts[:, [2, 1, 0]].copy()
+    verts[:, 2] = grid_labels.shape[2] - verts[:, 2]
+
+    filled = np.argwhere(occ).astype(np.float32)  # (K, 3) in (d0, d1, d2)
+    colors = labels_to_rgb(g[occ])
+    _, idx = knn(verts[:, [2, 1, 0]] / stride, filled, k=1)
+    vertex_colors = colors[idx[:, 0]].astype(np.float64)
+    if vertex_colors.max() > 1:
+        vertex_colors = vertex_colors / 255.0
+
+    tri = verts[faces]
+    normals = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    normals = normals / (np.linalg.norm(normals, axis=1, keepdims=True) + 1e-8)
+    return verts, faces, vertex_colors, normals
+
+
 def pad_points(
     pts: np.ndarray, labels: np.ndarray, n: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -34,7 +34,7 @@ IDENTITY_DEFORM = np.array([1.0, 0.0, 1.0, 0.0], np.float32)  # sy, dy, sxz, dxz
 
 
 @functools.partial(
-    jax.jit, static_argnames=("part_id", "H", "W", "voxel_shape", "image_hw")
+    jax.jit, static_argnames=("H", "W", "voxel_shape", "image_hw")
 )
 def _batch_deform_iou(
     deforms: jax.Array,  # (P, 4)
@@ -42,19 +42,19 @@ def _batch_deform_iou(
     valid: jax.Array,  # (N,)
     cam_vec: jax.Array,  # (9,)
     gt_labels: jax.Array,  # (H, W)
-    part_id: int,
+    part_id: jax.Array,  # scalar int32 (traced: one compile serves all parts)
     H: int,
     W: int,
     voxel_shape: Tuple[int, int, int],
     image_hw: Tuple[int, int],
 ) -> jax.Array:
-    ids = jnp.array([part_id], jnp.int32)
+    ids = part_id.reshape(1).astype(jnp.int32)
 
     def one(d):
         c, v = deform_coords(coords, valid, image_hw, voxel_shape, d)
         img = splat_labels(
             c.astype(jnp.float32),
-            jnp.full((c.shape[0],), part_id, jnp.uint8),
+            jnp.full((c.shape[0],), 1, jnp.uint8) * part_id.astype(jnp.uint8),
             v,
             cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
             H, W,
@@ -125,7 +125,7 @@ def optimize_part_deform(
         return _eval_chunked(
             np.asarray(deforms, np.float32), chunk,
             coords=jnp.asarray(pp), valid=jnp.asarray(vv), cam_vec=cam_vec,
-            gt_labels=gt, part_id=pid, H=H, W=W,
+            gt_labels=gt, part_id=jnp.int32(pid), H=H, W=W,
             voxel_shape=voxel_shape, image_hw=(H, W),
         )
 

@@ -103,7 +103,7 @@ def test_optimize_part_deform_recovers_shift():
     p, _, v = pad_points(pts, np.zeros(len(pts), np.uint8), bucket_size(len(pts)))
     iou_id = float(_batch_deform_iou(
         jnp.asarray(IDENTITY_DEFORM)[None], jnp.asarray(p), jnp.asarray(v),
-        params_to_vector(cam), jnp.asarray(mask), pid, H, W,
+        params_to_vector(cam), jnp.asarray(mask), jnp.int32(pid), H, W,
         (48, 48, 48), (H, W),
     )[0])
     assert iou >= iou_id

@@ -1,0 +1,69 @@
+"""Multi-device sharding: batched carve over the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pbr3d.carving.stage1 import global_carve, part_carve
+from pbr3d import config
+from pbr3d.parallel.sharding import (
+    batched_global_carve,
+    pad_masks_to_common,
+    scene_mesh,
+    shard_scene_batch,
+)
+
+
+def _toy_mask(h, w, seed):
+    rng = np.random.default_rng(seed)
+    ext = np.full((h, w), config.BACKGROUND_ID, np.uint8)
+    ext[h // 4 : -2, w // 4 : -w // 4] = config.PART_IDS["full_building"]
+    ext[h // 8 : h // 4 + 1, 3 * w // 8 : 5 * w // 8] = config.PART_IDS["dome"]
+    binary = (ext != config.BACKGROUND_ID).astype(np.uint8)
+    return binary, ext
+
+
+def test_mesh_shapes():
+    mesh = scene_mesh(8)
+    assert mesh.devices.size == 8
+    assert set(mesh.axis_names) == {"scene", "y"}
+
+
+def test_batched_carve_matches_single():
+    B = 4
+    masks = [_toy_mask(24, 24, i) for i in range(B)]
+    binary_b = np.stack([b for b, _ in masks])
+    ext_b = np.stack([e for _, e in masks])
+
+    mesh = scene_mesh(8)
+    grids = np.asarray(batched_global_carve(binary_b, ext_b, mesh))
+    assert grids.shape == (B, 24, 24, 24)
+
+    for i, (b, e) in enumerate(masks):
+        single = part_carve(
+            global_carve(b, e, 90), e, config.DEFAULT_CARVE_PRESET.group_jobs
+        )
+        np.testing.assert_array_equal(grids[i], np.asarray(single))
+
+
+def test_pad_masks_to_common(data_root):
+    from pbr3d.io.masks import prepare_masks
+
+    sets = [prepare_masks(data_root, m, "front", 64) for m in ("Akbar", "Taj")]
+    binary, ext = pad_masks_to_common(sets)
+    assert binary.shape == ext.shape and binary.shape[0] == 2
+    h, w = sets[0].binary.shape
+    np.testing.assert_array_equal(binary[0, :h, :w], sets[0].binary)
+    assert binary[0, h:, :].sum() == 0
+
+
+def test_shard_placement():
+    mesh = scene_mesh(8)
+    x = jnp.zeros((8, 16, 16))
+    xs = shard_scene_batch(x, mesh)
+    assert xs.sharding.is_equivalent_to(
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("scene", "y", None)),
+        x.ndim,
+    )
