@@ -131,3 +131,13 @@ def test_surface_metrics_smooth_vs_rough(rng):
     mr = inter.compute_surface_metrics(noisy, faces)
     assert ms["Normal StdDev (°)"] < mr["Normal StdDev (°)"]
     assert ms["Mean Roughness (λ₃)"] < mr["Mean Roughness (λ₃)"]
+
+
+def test_pallas_min_dist_matches_kdtree(rng):
+    from pbr3d.ops.pallas_kernels import min_dist2_pallas
+
+    A = rng.normal(size=(600, 3)).astype(np.float32)
+    B = rng.normal(size=(900, 3)).astype(np.float32)
+    d2 = min_dist2_pallas(A, B, interpret=True)
+    ref, _ = cKDTree(B).query(A, k=1)
+    np.testing.assert_allclose(np.sqrt(np.maximum(d2, 0)), ref, rtol=2e-3, atol=2e-4)
