@@ -97,13 +97,21 @@ def optimize_part_deform(
     search_stride: int = 8,
     scale_range: Tuple[float, float, int] = (0.8, 1.2, 7),
     shift_range: Tuple[float, float, int] = (-60.0, 60.0, 9),
-    refine_steps: int = 5,
+    refine_steps: int = 3,
     chunk: int = 64,
+    mode: str = "separable",
 ) -> Tuple[np.ndarray, float]:
     """Best (scale_y, shift_y, scale_xz, shift_xz) for one part + its IoU.
 
     Search uses every ``search_stride``-th point (reference project_fast);
     the returned IoU is re-evaluated on the full point set.
+
+    ``mode="separable"`` (default) searches the (scale_y, shift_y) pair
+    first (xz identity), then (scale_xz, shift_xz) given the best y, then a
+    joint local refinement — ~20x fewer objective evaluations than the full
+    4-D cross product (``mode="full"``), with matching quality on the
+    reference scenes because the y and xz DoFs act on near-orthogonal image
+    directions.
     """
     pid = config.PART_IDS[part]
     pts, _ = points_by_parts(grid_labels, [part])
@@ -133,15 +141,33 @@ def optimize_part_deform(
     d0, d1, nd = shift_range
     scales = np.linspace(s0, s1, ns)
     shifts = np.linspace(d0, d1, nd)
-    coarse = np.array(
-        [(sy, dy, sxz, dxz) for sy, sxz, dy, dxz in
-         itertools.product(scales, scales, shifts, shifts)],
-        np.float32,
-    )
-    # Always include identity so we can never regress below it.
-    coarse = np.concatenate([IDENTITY_DEFORM[None], coarse])
-    ious = ev(coarse, p_s, v_s)
-    best = coarse[int(np.argmax(ious))]
+
+    if mode == "full":
+        coarse = np.array(
+            [(sy, dy, sxz, dxz) for sy, sxz, dy, dxz in
+             itertools.product(scales, scales, shifts, shifts)],
+            np.float32,
+        )
+        # Always include identity so we can never regress below it.
+        coarse = np.concatenate([IDENTITY_DEFORM[None], coarse])
+        ious = ev(coarse, p_s, v_s)
+        best = coarse[int(np.argmax(ious))]
+    else:
+        # stage A: (scale_y, shift_y) with xz identity
+        ca = np.array(
+            [(sy, dy, 1.0, 0.0) for sy, dy in itertools.product(scales, shifts)],
+            np.float32,
+        )
+        ca = np.concatenate([IDENTITY_DEFORM[None], ca])
+        best = ca[int(np.argmax(ev(ca, p_s, v_s)))]
+        # stage B: (scale_xz, shift_xz) given the best y
+        cb = np.array(
+            [(best[0], best[1], sxz, dxz)
+             for sxz, dxz in itertools.product(scales, shifts)],
+            np.float32,
+        )
+        cb = np.concatenate([best[None], cb])
+        best = cb[int(np.argmax(ev(cb, p_s, v_s)))]
 
     # local refinement around the coarse optimum
     rs = np.linspace(-0.05, 0.05, refine_steps)
