@@ -34,14 +34,26 @@ from pbr3d.ops.projection import partwise_iou, splat_labels
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W"))
-def _batch_iou(cam_vecs, pts, labels, valid, gt_labels, part_ids, H: int, W: int):
+def _batch_iou(cam_vecs, pts, labels, valid, gt_labels, part_ids, true_hw,
+               H: int, W: int):
+    """(H, W) is the padded plane allocation; ``true_hw`` the real extent —
+    only bucketed shapes reach the compiler (compiles are expensive here)."""
+
     def one(x):
         img = splat_labels(
-            pts, labels, valid, x[0:3], x[3:6], x[6], x[7], x[8], H, W
+            pts, labels, valid, x[0:3], x[3:6], x[6], x[7], x[8], H, W, true_hw
         )
         return partwise_iou(img, gt_labels, part_ids)[1]
 
     return jax.vmap(one)(cam_vecs)
+
+
+def _pad_plane(mask_labels: np.ndarray):
+    H, W = mask_labels.shape[:2]
+    Hp, Wp = (-(-x // 128) * 128 for x in (H, W))
+    out = np.zeros((Hp, Wp), mask_labels.dtype)
+    out[:H, :W] = mask_labels
+    return out, (Hp, Wp)
 
 
 def evaluate_camera_iou(
@@ -55,12 +67,14 @@ def evaluate_camera_iou(
     H, W = mask_labels.shape[:2]
     pts, labels = points_by_parts(grid_labels, parts_for_alignment)
     p, l, v = pad_points(pts, labels, bucket_size(len(pts)))
+    gt_p, (Hp, Wp) = _pad_plane(mask_labels_selected(mask_labels, parts_for_alignment))
     ious = _batch_iou(
         params_to_vector(cam)[None],
         jnp.asarray(p), jnp.asarray(l), jnp.asarray(v),
-        jnp.asarray(mask_labels_selected(mask_labels, parts_for_alignment)),
+        jnp.asarray(gt_p),
         jnp.asarray(config.part_ids(parts_for_alignment)),
-        H, W,
+        jnp.asarray([H, W], jnp.int32),
+        Hp, Wp,
     )
     return float(ious[0])
 
@@ -92,8 +106,10 @@ def refine_camera_mask_iou(
     H, W = mask_labels.shape[:2]
     pts, labels = points_by_parts(grid_labels, parts_for_alignment)
     p, l, v = map(jnp.asarray, pad_points(pts, labels, bucket_size(len(pts))))
-    gt = jnp.asarray(mask_labels_selected(mask_labels, parts_for_alignment))
+    gt_p, (Hp, Wp) = _pad_plane(mask_labels_selected(mask_labels, parts_for_alignment))
+    gt = jnp.asarray(gt_p)
     ids = jnp.asarray(config.part_ids(parts_for_alignment))
+    true_hw = jnp.asarray([H, W], jnp.int32)
 
     # Bound per-eval device memory: each candidate materializes a handful of
     # N-length projection intermediates.
@@ -107,7 +123,8 @@ def refine_camera_mask_iou(
         if pad:
             vecs = np.concatenate([vecs, np.repeat(vecs[-1:], pad, axis=0)])
         outs = [
-            np.asarray(_batch_iou(jnp.asarray(vecs[i : i + chunk]), p, l, v, gt, ids, H, W))
+            np.asarray(_batch_iou(
+                jnp.asarray(vecs[i : i + chunk]), p, l, v, gt, ids, true_hw, Hp, Wp))
             for i in range(0, len(vecs), chunk)
         ]
         return np.concatenate(outs)[:P]

@@ -70,11 +70,15 @@ def default_bounds(H: int, W: int) -> Tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
+MAX_KEYPOINTS = 16  # padded anchor count: one compiled fit for all scenes
+
+
 @functools.partial(jax.jit, static_argnames=("loss_type", "max_iters"))
 def _lm_fit(
     x0: jax.Array,
-    vox_kps: jax.Array,  # (K, 3)
-    img_kps: jax.Array,  # (K, 2)
+    vox_kps: jax.Array,  # (MAX_KEYPOINTS, 3), zero-padded
+    img_kps: jax.Array,  # (MAX_KEYPOINTS, 2), zero-padded
+    kp_mask: jax.Array,  # (MAX_KEYPOINTS,) 1/0 — padded residuals are zeroed
     lo: jax.Array,
     hi: jax.Array,
     loss_type: str = "L2",
@@ -82,10 +86,10 @@ def _lm_fit(
 ):
     def residuals(x):
         u, v, _ = project_points(vox_kps, x[0:3], x[3:6], x[6], x[7], x[8])
-        r = jnp.stack([u, v], axis=1) - img_kps
+        r = (jnp.stack([u, v], axis=1) - img_kps) * kp_mask[:, None]
         if loss_type == "L1":
             # Smooth |r| so the Jacobian exists everywhere.
-            r = jnp.sqrt(r * r + 1e-12)
+            r = jnp.sqrt(r * r + 1e-12) * kp_mask[:, None]
         return r.reshape(-1)
 
     def loss(x):
@@ -135,8 +139,16 @@ def optimize_camera_with_keypoints(
     """
     H, W = image_hw
     keys = list(image_keypoints.keys())
-    vox = jnp.asarray(np.stack([voxel_keypoints[k] for k in keys]), jnp.float32)
-    img = jnp.asarray(np.stack([image_keypoints[k] for k in keys]), jnp.float32)
+    K = len(keys)
+    if K > MAX_KEYPOINTS:
+        raise ValueError(f"{K} keypoints exceed MAX_KEYPOINTS={MAX_KEYPOINTS}")
+    vox_np = np.zeros((MAX_KEYPOINTS, 3), np.float32)
+    img_np = np.zeros((MAX_KEYPOINTS, 2), np.float32)
+    mask_np = np.zeros((MAX_KEYPOINTS,), np.float32)
+    vox_np[:K] = np.stack([voxel_keypoints[k] for k in keys])
+    img_np[:K] = np.stack([image_keypoints[k] for k in keys])
+    mask_np[:K] = 1.0
+    vox, img, kp_mask = map(jnp.asarray, (vox_np, img_np, mask_np))
     x0 = jnp.asarray(
         np.concatenate(
             [
@@ -149,8 +161,8 @@ def optimize_camera_with_keypoints(
     )
     lo, hi = default_bounds(H, W)
     x, fun = _lm_fit(
-        jnp.clip(x0, lo, hi), vox, img, jnp.asarray(lo), jnp.asarray(hi),
-        loss_type=loss_type,
+        jnp.clip(x0, lo, hi), vox, img, kp_mask,
+        jnp.asarray(lo), jnp.asarray(hi), loss_type=loss_type,
     )
     x = np.asarray(x, np.float64)
     return {

@@ -62,6 +62,7 @@ def global_carve(
     binary_mask: np.ndarray,
     exterior_labels: np.ndarray,
     angle_interval: int = 90,
+    bucket: int | None = 64,
 ) -> Array:
     """Silhouette-carve + semantic label extrusion.
 
@@ -71,7 +72,9 @@ def global_carve(
     """
     h, w = binary_mask.shape
     occ = jnp.ones((w, h, w), jnp.float32)
-    carved = rotate_carve_sweep_jit(occ, jnp.asarray(binary_mask).T, angle_interval)
+    carved = rotate_carve_sweep_jit(
+        occ, jnp.asarray(binary_mask).T, angle_interval, bucket=bucket
+    )
     # Paint: label of a voxel = exterior label of its (x, y) column
     # (reference ``apply_colored_mask_to_voxel_grid``, :128-136).  Blend/other
     # and background pixels cannot survive the binary carve's own column mask
@@ -92,6 +95,7 @@ def part_carve(
     labels_grid: Array,
     exterior_labels: np.ndarray,
     group_jobs: Iterable[Tuple[Sequence[str], int]],
+    bucket: int | None = 64,
 ) -> Array:
     """Re-carve each part group under its own symmetry sweep.
 
@@ -110,7 +114,7 @@ def part_carve(
             m_wh = jnp.isin(exterior_labels, jnp.asarray(ids)).T
         sub = labels_grid * m_wh.astype(jnp.uint8)[:, :, None]
         occ = (sub > 0).astype(jnp.float32)
-        carved = rotate_carve_sweep_jit(occ, m_wh, int(angle))
+        carved = rotate_carve_sweep_jit(occ, m_wh, int(angle), bucket=bucket)
         part = sub * carved.astype(jnp.uint8)
         final = jnp.where(part > 0, part, final)
     return final
@@ -126,6 +130,7 @@ def component_guided_carve(
     exterior_labels: np.ndarray,
     part_name: str,
     angle: int = 60,
+    bucket: int | None = 32,
 ) -> Array:
     """Finer-angle re-carve of each 3D connected component of one part.
 
@@ -155,7 +160,7 @@ def component_guided_carve(
         m_wh = jnp.asarray(
             np.ascontiguousarray(_as_wh(crop2d, x1 - x0, y1 - y0))
         )
-        carved = rotate_carve_sweep_jit(occ, m_wh, int(angle))
+        carved = rotate_carve_sweep_jit(occ, m_wh, int(angle), bucket=bucket)
         comp_sub = comp_dev[x0:x1, y0:y1, z0:z1] == i
         sub_new = jnp.where(comp_sub & (carved < 0.5), 0, sub)
         labels_grid = jax.lax.dynamic_update_slice(

@@ -33,31 +33,32 @@ from pbr3d.ops.projection import partwise_iou, splat_labels
 IDENTITY_DEFORM = np.array([1.0, 0.0, 1.0, 0.0], np.float32)  # sy, dy, sxz, dxz
 
 
-@functools.partial(
-    jax.jit, static_argnames=("H", "W", "voxel_shape", "image_hw")
-)
+@functools.partial(jax.jit, static_argnames=("H", "W"))
 def _batch_deform_iou(
     deforms: jax.Array,  # (P, 4)
     coords: jax.Array,  # (N, 3) f32
     valid: jax.Array,  # (N,)
     cam_vec: jax.Array,  # (9,)
-    gt_labels: jax.Array,  # (H, W)
+    gt_labels: jax.Array,  # (H, W) — PADDED plane
     part_id: jax.Array,  # scalar int32 (traced: one compile serves all parts)
+    true_hw: jax.Array,  # (2,) int32 — the real image extent inside the plane
+    voxel_shape: jax.Array,  # (3,) int32 (D, H, W) — traced: serves all scenes
     H: int,
     W: int,
-    voxel_shape: Tuple[int, int, int],
-    image_hw: Tuple[int, int],
 ) -> jax.Array:
+    """Only the padded plane allocation (H, W) and the point-bucket size are
+    static — one compiled executable serves every part, scene size, and grid
+    shape (compiles are very expensive on this backend)."""
     ids = part_id.reshape(1).astype(jnp.int32)
 
     def one(d):
-        c, v = deform_coords(coords, valid, image_hw, voxel_shape, d)
+        c, v = deform_coords(coords, valid, true_hw, voxel_shape, d)
         img = splat_labels(
             c.astype(jnp.float32),
             jnp.full((c.shape[0],), 1, jnp.uint8) * part_id.astype(jnp.uint8),
             v,
             cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
-            H, W,
+            H, W, true_hw,
         )
         return partwise_iou(img, gt_labels, ids)[0][0]
 
@@ -117,8 +118,13 @@ def optimize_part_deform(
     pts, _ = points_by_parts(grid_labels, [part])
     if len(pts) == 0:
         return IDENTITY_DEFORM.copy(), 0.0
-    voxel_shape = tuple(int(s) for s in np.asarray(grid_labels).shape[:3])
+    voxel_shape = np.asarray(grid_labels).shape[:3]
     H, W = mask_labels.shape[:2]
+    # pad the image plane to a shared bucket so every scene size reuses the
+    # same compiled program; the true extent is a traced argument
+    Hp, Wp = (-(-x // 128) * 128 for x in (H, W))
+    gt_p = np.zeros((Hp, Wp), mask_labels.dtype)
+    gt_p[:H, :W] = mask_labels
 
     def padded(p):
         return pad_points(p, np.full(len(p), pid, np.uint8), bucket_size(len(p)))
@@ -126,15 +132,17 @@ def optimize_part_deform(
     sub = pts[::search_stride]
     p_s, _, v_s = padded(sub)
     p_f, _, v_f = padded(pts)
-    gt = jnp.asarray(mask_labels)
+    gt = jnp.asarray(gt_p)
     cam_vec = jnp.asarray(params_to_vector(cam))
+    true_hw = jnp.asarray([H, W], jnp.int32)
+    vs = jnp.asarray(voxel_shape, jnp.int32)
 
     def ev(deforms, pp, vv):
         return _eval_chunked(
             np.asarray(deforms, np.float32), chunk,
             coords=jnp.asarray(pp), valid=jnp.asarray(vv), cam_vec=cam_vec,
-            gt_labels=gt, part_id=jnp.int32(pid), H=H, W=W,
-            voxel_shape=voxel_shape, image_hw=(H, W),
+            gt_labels=gt, part_id=jnp.int32(pid), true_hw=true_hw,
+            voxel_shape=vs, H=Hp, W=Wp,
         )
 
     s0, s1, ns = scale_range

@@ -41,17 +41,20 @@ _JITTER = np.array(
 def deform_coords(
     coords: jax.Array,  # (N, 3) float32 (x, y, z)
     valid: jax.Array,  # (N,) bool
-    image_hw: Tuple[int, int],
-    voxel_shape: Tuple[int, int, int],
+    image_hw,  # (2,) ints or traced int32 array: (H_img, W_img)
+    voxel_shape,  # (3,) ints or traced int32 array: (D, H, W)
     deform: jax.Array,  # (4,): scale_y, shift_y, scale_xz, shift_xz
 ) -> Tuple[jax.Array, jax.Array]:
     """Warp a padded point set; returns (coords_int (7N, 3) int32, valid (7N,)).
 
     Out-of-grid points are marked invalid (the reference filters them,
-    deformation_estimation.py:105-111).
+    deformation_estimation.py:105-111).  ``image_hw``/``voxel_shape`` may be
+    traced arrays so one compiled program serves every scene size.
     """
-    H_img, W_img = image_hw
-    D, H, W = voxel_shape
+    image_hw = jnp.asarray(image_hw, jnp.float32)
+    vs = jnp.asarray(voxel_shape, jnp.float32)
+    H_img, W_img = image_hw[0], image_hw[1]
+    D, H, W = vs[0], vs[1], vs[2]
     scale_y, shift_y, scale_xz, shift_xz = deform[0], deform[1], deform[2], deform[3]
 
     # Centroid over VALID original points only (reference uses the raw set).
@@ -63,9 +66,9 @@ def deform_coords(
     # added to the output (deformation_estimation.py:70-98).  Equivalently:
     # transform the base points once, then add the 7 offsets and round.
     c = coords - center
-    px = W / float(W_img)
-    py = H / float(H_img)
-    pz = D / float(W_img)
+    px = W / W_img
+    py = H / H_img
+    pz = D / W_img
     x = c[:, 0] * scale_xz + shift_xz * px * jnp.sign(c[:, 0])
     y = c[:, 1] * scale_y - shift_y * py
     z = c[:, 2] * scale_xz + shift_xz * pz * jnp.sign(c[:, 2])

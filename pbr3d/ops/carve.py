@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pbr3d.ops.rotate import lut_plan
+from pbr3d.ops.rotate import lut_plan, lut_plan_embedded
 
 
 def carve_with_mask(occ: jax.Array, mask_wh: jax.Array) -> jax.Array:
@@ -55,6 +55,17 @@ def _stacked_plans(W: int, D: int, angle_interval: int):
     return np.stack(idxs), np.stack(decs)
 
 
+@functools.lru_cache(maxsize=512)
+def _stacked_plans_padded(W: int, D: int, Wp: int, Dp: int, angle_interval: int):
+    angles = [a for a in sweep_angles(angle_interval) if a % 360 != 0]
+    idxs, decs = zip(*(lut_plan_embedded(W, D, Wp, Dp, float(a)) for a in angles))
+    return np.stack(idxs), np.stack(decs)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _sweep_scan(g2: jax.Array, m2: jax.Array, idx: jax.Array, dec: jax.Array):
     """g2 (H, N) int32 occupancy; m2 (H, N) int32 column mask;
@@ -74,7 +85,8 @@ def _sweep_scan(g2: jax.Array, m2: jax.Array, idx: jax.Array, dec: jax.Array):
 
 
 def rotate_carve_sweep(
-    occ: jax.Array, mask_wh: jax.Array, angle_interval: int
+    occ: jax.Array, mask_wh: jax.Array, angle_interval: int,
+    bucket: int | None = None,
 ) -> jax.Array:
     """Cumulative rotate-and-carve sweep (reference ``process_voxel_grid``),
     bit-exact vs the scipy uint8 path.
@@ -83,16 +95,43 @@ def rotate_carve_sweep(
     nonzero kept.  NOTE: the output grid ends up rotated by the *sum* of the
     step angles (e.g. 90° total for interval 90), exactly as in the
     reference.
+
+    ``bucket``: pad every dimension up to a multiple of ``bucket`` and run
+    the sweep at the padded shape with origin-embedded plans
+    (:func:`pbr3d.ops.rotate.lut_plan_embedded`).  The result in the original
+    region is BIT-IDENTICAL (decisions are computed in the original frame on
+    host), but all crops sharing a bucket share ONE compiled executable —
+    essential on this remote-compile backend where each distinct program
+    shape costs tens of seconds to build.
     """
     W, H, D = occ.shape
     dtype = occ.dtype
-    idx, dec = _stacked_plans(W, D, int(angle_interval))
-    g2 = (jnp.transpose(occ, (1, 0, 2)).reshape(H, W * D) > 0).astype(jnp.int32)
-    m2 = jnp.broadcast_to(
-        (jnp.asarray(mask_wh) > 0).astype(jnp.int32).T[:, :, None], (H, W, D)
-    ).reshape(H, W * D)
+
+    if bucket:
+        Wp, Hp, Dp = (_round_up(x, bucket) for x in (W, H, D))
+    else:
+        Wp, Hp, Dp = W, H, D
+
+    if (Wp, Hp, Dp) == (W, H, D):
+        idx, dec = _stacked_plans(W, D, int(angle_interval))
+        g2 = (jnp.transpose(occ, (1, 0, 2)).reshape(H, W * D) > 0).astype(jnp.int32)
+        m_wh = (jnp.asarray(mask_wh) > 0).astype(jnp.int32)
+        m2 = jnp.broadcast_to(m_wh.T[:, :, None], (H, W, D)).reshape(H, W * D)
+        out = _sweep_scan(g2, m2, jnp.asarray(idx), jnp.asarray(dec))
+        return jnp.transpose(out.reshape(H, W, D), (1, 0, 2)).astype(dtype)
+
+    idx, dec = _stacked_plans_padded(W, D, Wp, Dp, int(angle_interval))
+    occ_p = jnp.zeros((Wp, Hp, Dp), jnp.int32).at[:W, :H, :D].set(
+        (occ > 0).astype(jnp.int32)
+    )
+    m_wh = jnp.zeros((Wp, Hp), jnp.int32).at[:W, :H].set(
+        (jnp.asarray(mask_wh) > 0).astype(jnp.int32)
+    )
+    g2 = jnp.transpose(occ_p, (1, 0, 2)).reshape(Hp, Wp * Dp)
+    m2 = jnp.broadcast_to(m_wh.T[:, :, None], (Hp, Wp, Dp)).reshape(Hp, Wp * Dp)
     out = _sweep_scan(g2, m2, jnp.asarray(idx), jnp.asarray(dec))
-    return jnp.transpose(out.reshape(H, W, D), (1, 0, 2)).astype(dtype)
+    out = jnp.transpose(out.reshape(Hp, Wp, Dp), (1, 0, 2))
+    return out[:W, :H, :D].astype(dtype)
 
 
 # Back-compat alias (the sweep is fully jit'd internally).

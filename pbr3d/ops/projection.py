@@ -32,12 +32,21 @@ from pbr3d.ops.cameramath import project_points
 
 
 def _pixel_index(
-    u: jax.Array, v: jax.Array, valid: jax.Array, H: int, W: int
+    u: jax.Array, v: jax.Array, valid: jax.Array, H: int, W: int,
+    true_hw: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Round to integer pixels; returns (flat index with dump bucket H*W, valid)."""
+    """Round to integer pixels; returns (flat index with dump bucket H*W, valid).
+
+    ``H``/``W`` are the (static) plane allocation; ``true_hw`` (2,) int32, if
+    given, bounds the VALID image region dynamically — this lets callers pad
+    image planes to shared bucket shapes (one compiled program for many
+    image sizes) while keeping the reference's exact clipping semantics.
+    """
     ui = jnp.round(u).astype(jnp.int32)  # jnp.round == numpy banker's rounding
     vi = jnp.round(v).astype(jnp.int32)
-    ok = valid & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+    h = H if true_hw is None else true_hw[0]
+    w = W if true_hw is None else true_hw[1]
+    ok = valid & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
     pix = jnp.where(ok, vi * W + ui, H * W)
     return pix, ok
 
@@ -48,15 +57,17 @@ def splat_labels(
     point_valid: jax.Array,
     cam_pos, target, f, cx, cy,
     H: int, W: int,
+    true_hw: jax.Array | None = None,
 ) -> jax.Array:
     """Project labeled points to an (H, W) uint8 label image, last-write-wins.
 
     ``pts (N, 3)`` float32, ``labels (N,)`` uint8/int32, ``point_valid (N,)``
-    bool (padding mask).
+    bool (padding mask).  ``true_hw`` optionally bounds the valid image
+    region inside a padded (H, W) plane (see ``_pixel_index``).
     """
     N = pts.shape[0]
     u, v, _ = project_points(pts, cam_pos, target, f, cx, cy)
-    pix, ok = _pixel_index(u, v, point_valid, H, W)
+    pix, ok = _pixel_index(u, v, point_valid, H, W, true_hw)
     order = jnp.arange(N, dtype=jnp.int32)
     winner = jax.ops.segment_max(
         jnp.where(ok, order, -1), pix, num_segments=H * W + 1,
@@ -76,10 +87,11 @@ def zbuffer(
     cam_pos, target, f, cx, cy,
     H: int, W: int,
     z_valid_min: float = 1e-6,
+    true_hw: jax.Array | None = None,
 ) -> jax.Array:
     """(H, W) float32 min-Z buffer (inf where nothing projects)."""
     u, v, Z = project_points(pts, cam_pos, target, f, cx, cy)
-    pix, ok = _pixel_index(u, v, point_valid & (Z > z_valid_min), H, W)
+    pix, ok = _pixel_index(u, v, point_valid & (Z > z_valid_min), H, W, true_hw)
     INF = jnp.float32(jnp.inf)
     zb = jax.ops.segment_min(
         jnp.where(ok, Z.astype(jnp.float32), INF), pix, num_segments=H * W + 1
@@ -94,11 +106,12 @@ def project_visible(
     cam_pos, target, f, cx, cy,
     eps: float = 1e-3,
     z_valid_min: float = 1e-6,
+    true_hw: jax.Array | None = None,
 ) -> jax.Array:
     """(H, W) bool mask of pixels where some point is within eps of the z-buffer."""
     H, W = zbuf.shape
     u, v, Z = project_points(pts, cam_pos, target, f, cx, cy)
-    pix, ok = _pixel_index(u, v, point_valid & (Z > z_valid_min), H, W)
+    pix, ok = _pixel_index(u, v, point_valid & (Z > z_valid_min), H, W, true_hw)
     zb_at = jnp.take(zbuf.ravel(), jnp.clip(pix, 0, H * W - 1))
     hit = ok & (jnp.abs(Z - zb_at) < eps)
     count = jax.ops.segment_sum(

@@ -183,6 +183,37 @@ def lut_plan(W: int, D: int, angle_deg: float) -> Tuple[np.ndarray, np.ndarray]:
     return idx, dec
 
 
+@functools.lru_cache(maxsize=512)
+def lut_plan_embedded(
+    W: int, D: int, Wp: int, Dp: int, angle_deg: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """LUT plan for a (W, ·, D) grid EMBEDDED at the origin of a padded
+    (Wp, ·, Dp) grid.
+
+    The corner indices and float64 decisions are computed in the ORIGINAL
+    frame (identical bits to :func:`lut_plan`), then re-addressed into the
+    padded flat layout; padded output pixels get decision 0 (always empty).
+    A sweep on the padded grid therefore produces BIT-IDENTICAL content in
+    the original region while sharing one compiled executable across every
+    crop that fits the bucket — the key trick for a backend where every
+    distinct program shape is a fresh (slow) remote compile.
+    """
+    idx, dec = lut_plan(W, D, float(angle_deg))
+    k = idx.shape[0]
+    # original flat (xi*D + zi) -> padded flat (xi*Dp + zi)
+    xi = idx // D
+    zi = idx % D
+    idx_p = xi * Dp + zi
+    out_idx = np.zeros((k, Wp * Dp), np.int32)
+    out_dec = np.zeros((Wp * Dp,), np.int32)
+    # positions of original output pixels inside the padded flat layout
+    ox, oz = np.meshgrid(np.arange(W), np.arange(D), indexing="ij")
+    pos = (ox * Dp + oz).ravel()
+    out_idx[:, pos] = idx_p
+    out_dec[pos] = dec
+    return out_idx, out_dec
+
+
 def rotate_y_binary_u8(grid: jax.Array, angle_deg: float) -> jax.Array:
     """Rotate a {0,1} grid, bit-exactly reproducing scipy's uint8 path.
 

@@ -101,9 +101,13 @@ def test_optimize_part_deform_recovers_shift():
     from pbr3d.carving.voxel import points_by_parts, pad_points, bucket_size
     pts, _ = points_by_parts(grid, ["dome"])
     p, _, v = pad_points(pts, np.zeros(len(pts), np.uint8), bucket_size(len(pts)))
+    Hp = Wp = 128  # the search pads planes to 128-multiples
+    gt_p = np.zeros((Hp, Wp), mask.dtype)
+    gt_p[:H, :W] = mask
     iou_id = float(_batch_deform_iou(
         jnp.asarray(IDENTITY_DEFORM)[None], jnp.asarray(p), jnp.asarray(v),
-        params_to_vector(cam), jnp.asarray(mask), jnp.int32(pid), H, W,
-        (48, 48, 48), (H, W),
+        params_to_vector(cam), jnp.asarray(gt_p), jnp.int32(pid),
+        jnp.asarray([H, W], jnp.int32), jnp.asarray([48, 48, 48], jnp.int32),
+        Hp, Wp,
     )[0])
     assert iou >= iou_id
