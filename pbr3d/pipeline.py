@@ -167,14 +167,20 @@ def run_pipeline(
     stage3_kw: Optional[Dict] = None,
 ) -> PipelineResult:
     """Full 3-stage reconstruction of one monument."""
+    import sys
+
     timings = {}
     t = time.perf_counter()
     grid1 = run_stage1(monument, data_root, max_dim, out_dir=out_dir)
     timings["stage1"] = time.perf_counter() - t
+    print(f"[{monument}] stage1 {timings['stage1']:.1f}s grid={grid1.shape}",
+          file=sys.stderr, flush=True)
 
     t = time.perf_counter()
     cameras = run_stage2(monument, grid1, data_root, out_dir, **(stage2_kw or {}))
     timings["stage2"] = time.perf_counter() - t
+    print(f"[{monument}] stage2 {timings['stage2']:.1f}s views={list(cameras['final'])}",
+          file=sys.stderr, flush=True)
 
     t = time.perf_counter()
     if not cameras["final"]:
@@ -187,6 +193,8 @@ def run_pipeline(
         monument, grid1, cam_front, data_root, out_dir, **(stage3_kw or {})
     )
     timings["stage3"] = time.perf_counter() - t
+    print(f"[{monument}] stage3 {timings['stage3']:.1f}s parts={len(deforms)}",
+          file=sys.stderr, flush=True)
 
     return PipelineResult(monument, grid1, cameras, deforms, grid3, timings)
 

@@ -211,6 +211,73 @@ def visualize_reprojection(
     return fig, errors
 
 
+def visualize_minaret_kp(
+    monument: str,
+    tag: str,
+    cam: Dict,
+    mask_labels: np.ndarray,
+    voxel_kps: Mapping[str, np.ndarray],
+    image_kps: Mapping[str, tuple],
+    minarets: Sequence[str] = ("LM1", "RM1", "LM2", "RM2"),
+    back_top_only: bool = False,
+):
+    """GT/projected minaret anchors with error segments
+    (reference: eval_helpers_intra.py:89-127)."""
+    from pbr3d.eval.intra import project_keypoints
+
+    proj = project_keypoints(dict(voxel_kps), cam)
+    fig = plt.figure(figsize=(6, 6))
+    plt.imshow(labels_to_rgb(mask_labels))
+    plt.title(f"{monument} | {tag} | Minaret KP reprojection")
+    plt.axis("off")
+    for m in minarets:
+        names = [f"{m}_top"]
+        if not (m in ("LM2", "RM2") and back_top_only):
+            names.append(f"{m}_bottom")
+        for k in names:
+            if k not in image_kps:
+                continue
+            gt, pr = image_kps[k], proj[k]
+            plt.scatter(gt[0], gt[1], c="lime", s=25)
+            plt.scatter(pr[0], pr[1], c="red", s=25)
+            plt.plot([gt[0], pr[0]], [gt[1], pr[1]], color="yellow", linewidth=1)
+    return fig
+
+
+def visualize_minarets_all_cams(
+    grid_labels: np.ndarray,
+    mask_labels: np.ndarray,
+    cams: Mapping[str, Dict],
+):
+    """Visibility-aware minaret overlay per camera tag
+    (reference: eval_helpers_intra.py:226-262).  Returns (figure, {tag: IoU})."""
+    import jax.numpy as jnp
+
+    from pbr3d.carving.voxel import points_by_parts
+    from pbr3d.eval.intra import _iou_bool, _visible, _zbuf
+
+    H, W = mask_labels.shape[:2]
+    gt = np.isin(mask_labels, config.part_ids(["front_minarets", "back_minarets"]))
+    pts, _ = points_by_parts(grid_labels, ["front_minarets", "back_minarets"])
+
+    fig = plt.figure(figsize=(6 * len(cams), 5))
+    ious = {}
+    for i, (tag, cam) in enumerate(cams.items(), 1):
+        zb = _zbuf(grid_labels, cam, H, W)
+        pr = _visible(pts, cam, zb)
+        ious[tag] = _iou_bool(gt, pr)
+        img = np.zeros((H, W, 3), np.uint8)
+        img[gt] = [0, 255, 0]
+        img[pr] = [255, 0, 0]
+        img[gt & pr] = [255, 255, 0]
+        ax = fig.add_subplot(1, len(cams), i)
+        ax.imshow(img)
+        ax.set_title(f"minarets | {tag} | IoU={ious[tag]:.3f}")
+        ax.axis("off")
+    fig.tight_layout()
+    return fig, ious
+
+
 def visualize_side_by_side(gt, pr_init, pr_final, title, iou0, iou1):
     """Green/red/yellow init-vs-final comparison
     (reference eval_helpers_intra.py:197-219)."""

@@ -90,3 +90,29 @@ def test_viz_smoke(toy_grid):
     gt = mask == config.PART_IDS["dome"]
     fig = visualize_side_by_side(gt, gt, ~gt, "t", 1.0, 0.0)
     assert fig is not None
+
+
+def test_minaret_viz_smoke(golden_root, data_root):
+    from pbr3d.io.artifacts import load_camera_json, load_voxel_grid_labels
+    from pbr3d.camera.keypoints import (
+        extract_minaret_voxels_by_label, extract_minaret_masks_by_label,
+        extract_top_bottom_voxel_points, extract_top_bottom_image_points,
+    )
+    from pbr3d.eval.intra import _load_mask_labels_for_grid
+    from pbr3d.utils.viz import visualize_minaret_kp, visualize_minarets_all_cams
+
+    grid = load_voxel_grid_labels(
+        f"{golden_root}/1.Orthographic_Voxel_Carving/Akbar_voxel_grid.npz")
+    mask = _load_mask_labels_for_grid(data_root, "Akbar", "front", grid.shape)
+    cam = load_camera_json(
+        f"{golden_root}/2.Perspective_Camera_Estimation/Akbar_camera_params_init.json",
+        "front")
+    vox = extract_minaret_voxels_by_label(grid)
+    msk = extract_minaret_masks_by_label(mask)
+    vkp = extract_top_bottom_voxel_points(vox)
+    ikp = extract_top_bottom_image_points(msk)
+    fig = visualize_minaret_kp("Akbar", "init", cam, mask, vkp, ikp,
+                               back_top_only=True)
+    assert fig is not None
+    fig, ious = visualize_minarets_all_cams(grid, mask, {"init": cam})
+    assert "init" in ious
