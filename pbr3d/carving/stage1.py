@@ -35,7 +35,11 @@ import numpy as np
 from pbr3d import config
 from pbr3d.config import PART_IDS
 from pbr3d.ops.carve import rotate_carve_sweep_jit
-from pbr3d.ops.components import connected_components, component_stats
+from pbr3d.ops.components import (
+    component_stats,
+    connected_components,
+    connected_components_device,
+)
 
 Array = jax.Array
 
@@ -145,9 +149,10 @@ def component_guided_carve(
     if not mask2d.any():
         return labels_grid
 
-    comp, n = connected_components(np.asarray(labels_grid) == target, "face")
-    stats = component_stats(comp, n)
-    comp_dev = jnp.asarray(comp)
+    comp_dev, n = connected_components_device(
+        jnp.asarray(labels_grid) == target, "face"
+    )
+    stats = component_stats(comp_dev, n)
 
     for i in range(1, n + 1):
         if stats["count"][i] == 0:
@@ -262,16 +267,16 @@ def recolor_backward_components(
     """Keep the ``k`` components with smallest mean coordinate along
     ``sort_axis``; recolor the rest (reference: voxel_carving_utils.py:252-266)."""
     pid, new_pid = PART_IDS[part_name], PART_IDS[new_part_name]
-    comp, n = connected_components(np.asarray(labels_grid) == pid, "face")
+    comp, n = connected_components_device(jnp.asarray(labels_grid) == pid, "face")
     if n <= k:
         return labels_grid
     stats = component_stats(comp, n)
-    means = stats["centroid"][1:, sort_axis]  # comps 1..n
+    means = stats["centroid"][1 : n + 1, sort_axis]  # comps 1..n
     keep = set((np.argsort(means, kind="stable")[:k] + 1).tolist())
     recolor_ids = np.array(
         [i for i in range(1, n + 1) if i not in keep], dtype=np.int32
     )
-    recolor_mask = jnp.isin(jnp.asarray(comp), jnp.asarray(recolor_ids))
+    recolor_mask = jnp.isin(comp, jnp.asarray(recolor_ids))
     return jnp.where(recolor_mask, jnp.uint8(new_pid), labels_grid)
 
 

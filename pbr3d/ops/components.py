@@ -120,6 +120,41 @@ def connected_components(
     return labels, int(uniq.size)
 
 
+@functools.partial(jax.jit, static_argnames=("full_connectivity", "max_k"))
+def _label_dense_device(mask: jax.Array, full_connectivity: bool, max_k: int):
+    """Device-resident labeling: roots -> dense ids 1..n (0 = background).
+
+    Uses ``jnp.unique(size=max_k+1)`` so shapes stay static; returns
+    ``(labels int32, n int32, overflow bool)`` — ``overflow`` is True when
+    the mask has more than ``max_k`` components (caller must fall back).
+    Component ids follow scipy's raster order (roots are min flat indices).
+    """
+    roots = _label_roots(mask, full_connectivity)
+    uniq = jnp.unique(roots.ravel(), size=max_k + 1, fill_value=_BIG)
+    n = jnp.sum(uniq < _BIG).astype(jnp.int32)
+    # overflow iff more than max_k distinct real roots exist: then the
+    # (sorted, truncated) uniq contains no fill/background slot left
+    overflow = uniq[max_k] < _BIG
+    idx = jnp.searchsorted(uniq, roots)
+    labels = jnp.where(roots >= _BIG, 0, idx + 1).astype(jnp.int32)
+    return labels, n, overflow
+
+
+def connected_components_device(
+    mask, connectivity: str = "face", max_k: int = 256
+) -> Tuple[jax.Array, int]:
+    """Like :func:`connected_components` but fully device-resident (no full
+    grid host round trip) — for consumers that keep the labels on device
+    (guided carving, recoloring).  Falls back to the host path on overflow.
+    """
+    mask = jnp.asarray(mask, dtype=bool)
+    labels, n, overflow = _label_dense_device(mask, connectivity == "full", max_k)
+    if bool(overflow):
+        host_labels, n = connected_components(mask, connectivity)
+        return jnp.asarray(host_labels), n
+    return labels, int(n)
+
+
 @functools.partial(jax.jit, static_argnames=("num_segments",))
 def _component_stats_jit(labels: jax.Array, num_segments: int):
     nd = labels.ndim
@@ -145,11 +180,16 @@ def _component_stats_jit(labels: jax.Array, num_segments: int):
 def component_stats(labels: np.ndarray, n: int):
     """Per-component bbox & centroid, computed on device.
 
-    Returns dict of host arrays indexed by component id 1..n (index 0 unused):
-    ``bbox_min (n+1, nd)``, ``bbox_max (n+1, nd)`` (inclusive),
-    ``centroid (n+1, nd)``, ``count (n+1,)``.
+    Returns dict of host arrays indexed by component id 1..n (index 0 unused;
+    trailing rows beyond n are padding):
+    ``bbox_min (>=n+1, nd)``, ``bbox_max`` (inclusive), ``centroid``,
+    ``count``.
+
+    The segment count is bucketed to 257 so every call below 256 components
+    shares one compiled program (compiles are expensive on this backend).
     """
-    mins, maxs, sums, counts = _component_stats_jit(jnp.asarray(labels), n + 1)
+    num_segments = 257 if n < 257 else n + 1
+    mins, maxs, sums, counts = _component_stats_jit(jnp.asarray(labels), num_segments)
     mins, maxs, sums, counts = map(np.asarray, (mins, maxs, sums, counts))
     centroid = sums / np.maximum(counts, 1.0)[:, None]
     return {

@@ -51,3 +51,26 @@ def test_component_stats(rng):
         np.testing.assert_array_equal(stats["bbox_max"][i], coords.max(0))
         np.testing.assert_allclose(stats["centroid"][i], coords.mean(0), rtol=1e-5)
         assert stats["count"][i] == len(coords)
+
+
+def test_device_components_match_host(rng):
+    from pbr3d.ops.components import connected_components_device
+    import jax.numpy as jnp
+
+    mask = rng.random((18, 22, 14)) > 0.72
+    host, n_host = connected_components(mask, "face")
+    dev, n_dev = connected_components_device(jnp.asarray(mask), "face")
+    assert n_dev == n_host
+    np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def test_device_components_overflow_fallback(rng):
+    from pbr3d.ops.components import connected_components_device
+    import jax.numpy as jnp
+
+    # a checkerboard has ~half the voxels as isolated comps -> overflow
+    mask = np.indices((12, 12, 12)).sum(0) % 2 == 0
+    dev, n = connected_components_device(jnp.asarray(mask), "face", max_k=16)
+    host, n_host = connected_components(mask, "face")
+    assert n == n_host
+    np.testing.assert_array_equal(np.asarray(dev), host)
