@@ -201,6 +201,24 @@ def run_pipeline(
 
 def run_all(
     monuments: Sequence[str] = tuple(config.MONUMENTS),
+    strict: bool = False,
     **kw,
 ) -> Dict[str, PipelineResult]:
-    return {m: run_pipeline(m, **kw) for m in monuments}
+    """Run the full pipeline for every monument.
+
+    With ``strict=False`` a failing monument is reported and skipped (the
+    reference notebooks likewise skip views that fail extraction).
+    """
+    import sys
+    import traceback
+
+    out: Dict[str, PipelineResult] = {}
+    for m in monuments:
+        try:
+            out[m] = run_pipeline(m, **kw)
+        except Exception:
+            if strict:
+                raise
+            print(f"[run_all] {m} FAILED:", file=sys.stderr)
+            traceback.print_exc()
+    return out
