@@ -1,0 +1,324 @@
+"""Fused, bucket-padded stage-1 pipeline — the production TPU path.
+
+The modular functions in pbr3d.carving.stage1 are semantically exact but
+dispatch many small eager ops whose shapes differ per monument and per
+component crop.  On this backend every distinct (op, shape) is a fresh
+remote compile costing ~a minute, so the cold wall time is dominated by
+program COUNT.  This module restructures stage 1 so that:
+
+* global + per-part-group carving is ONE jit program per bucketed mask
+  shape, with the true mask extent and the rotation plans passed as traced
+  data — every monument sharing a bucket shares the executable;
+* component-guided carving slices fixed-size bucket WINDOWS out of a
+  once-padded grid (``lax.dynamic_slice``), so all components sharing a
+  window bucket share one sweep program;
+* interior extrusion for all parts/directions is one jit program per grid
+  bucket (traced true sizes reproduce the reference's boundary behavior);
+* the reorientation flip and back-minaret recolor run on the padded grid
+  with traced sizes.
+
+Outputs are BIT-IDENTICAL to pbr3d.carving.stage1 (and therefore to the
+reference implementation) — verified by the fixture tests, which run both
+paths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbr3d import config
+from pbr3d.config import PART_IDS
+from pbr3d.ops.carve import _round_up, _stacked_plans_padded, _sweep_scan
+from pbr3d.ops.components import (
+    component_stats,
+    connected_components_device,
+)
+
+Array = jax.Array
+
+
+def _sweep_padded(occ_p: Array, m2: Array, plans) -> Array:
+    """Run the scan sweep on an already-padded (Wb, Hb, Db) occupancy with a
+    (Hb, Wb*Db) column mask; plans are (idx, dec) device arrays."""
+    Wb, Hb, Db = occ_p.shape
+    g2 = jnp.transpose(occ_p, (1, 0, 2)).reshape(Hb, Wb * Db).astype(jnp.int32)
+    out = _sweep_scan(g2, m2, plans[0], plans[1])
+    return jnp.transpose(out.reshape(Hb, Wb, Db), (1, 0, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("group_ids",))
+def _global_and_part_carve(
+    binary_wh_p: Array,  # (Wb, Hb) uint8/bool, zero-padded
+    ext_wh_p: Array,  # (Wb, Hb) uint8 labels, zero-padded
+    true_whd: Array,  # (3,) int32: the true (w, h, d) grid extent
+    plan_idx: Array,  # (A, 4, Wb*Db)
+    plan_dec: Array,  # (A, Wb*Db)
+    group_ids: Tuple[Tuple[int, ...], ...],  # static: label ids per group
+) -> Array:
+    """Global carve + per-group part carve, one compiled program per bucket.
+
+    All groups use the same (90°) sweep plans as the global carve — true for
+    the reference's notebook preset; generalize with per-group plans if a
+    preset ever differs.
+    """
+    Wb, Hb = binary_wh_p.shape
+    Db = Wb
+    w, h, d = true_whd[0], true_whd[1], true_whd[2]
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (Wb, Hb, Db), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (Wb, Hb, Db), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (Wb, Hb, Db), 2)
+    in_true = (ix < w) & (iy < h) & (iz < d)
+
+    def col_mask(m_wh):
+        return jnp.broadcast_to(
+            (m_wh > 0).astype(jnp.int32).T[:, :, None], (Hb, Wb, Db)
+        ).reshape(Hb, Wb * Db)
+
+    plans = (plan_idx, plan_dec)
+
+    # --- global carve: ones in the true extent, sweep, paint labels ---
+    occ0 = in_true.astype(jnp.int32)
+    carved = _sweep_padded(occ0, col_mask(binary_wh_p), plans)
+    grid = carved.astype(jnp.uint8) * ext_wh_p.astype(jnp.uint8)[:, :, None]
+
+    # --- per-group re-carve (reference part_carve) ---
+    final = jnp.zeros_like(grid)
+    for ids in group_ids:
+        m_wh = jnp.isin(ext_wh_p, jnp.asarray(ids, jnp.uint8))
+        sub = grid * m_wh.astype(jnp.uint8)[:, :, None]
+        carved = _sweep_padded((sub > 0).astype(jnp.int32), col_mask(m_wh), plans)
+        part = sub * carved.astype(jnp.uint8)
+        final = jnp.where(part > 0, part, final)
+    return final
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _guided_window_step(
+    window: Array,  # (Wb, Hb, Db) uint8 labels
+    compw: Array,  # (Wb, Hb, Db) int32 component labels
+    comp_id: Array,  # scalar int32
+    m_wh_p: Array,  # (Wb, Hb) bool — bbox-cropped part mask, zero-padded
+    true_whd: Array,  # (3,) int32 true crop extent
+    plan_idx: Array,
+    plan_dec: Array,
+) -> Array:
+    Wb, Hb, Db = window.shape
+    ix = jax.lax.broadcasted_iota(jnp.int32, (Wb, Hb, Db), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (Wb, Hb, Db), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (Wb, Hb, Db), 2)
+    in_true = (ix < true_whd[0]) & (iy < true_whd[1]) & (iz < true_whd[2])
+
+    occ = ((window > 0) & in_true).astype(jnp.int32)
+    m2 = jnp.broadcast_to(
+        (m_wh_p > 0).astype(jnp.int32).T[:, :, None], (Hb, Wb, Db)
+    ).reshape(Hb, Wb * Db)
+    carved = _sweep_padded(occ, m2, (plan_idx, plan_dec))
+    erase = (compw == comp_id) & (carved == 0) & in_true
+    return jnp.where(erase, jnp.uint8(0), window)
+
+
+def guided_carve_fused(
+    grid_p: Array,  # (Wp, Hp, Dp) padded label grid
+    exterior_labels: np.ndarray,  # (H, W) host labels (TRUE extent)
+    part_name: str,
+    angle: int,
+    window_bucket: int = 32,
+    max_window: int = 128,
+) -> Array:
+    """Component-guided carve on bucket windows of the padded grid.
+
+    Components larger than ``max_window`` in any dimension fall back to the
+    exact per-crop path (rare: only huge parts).  The grid must carry at
+    least ``max_window`` voxels of zero padding per dimension so windows
+    always fit.
+    """
+    target = PART_IDS[part_name]
+    mask2d = exterior_labels == target
+    if not mask2d.any():
+        return grid_p
+
+    comp, n = connected_components_device(grid_p == target, "face")
+    if n == 0:
+        return grid_p
+    stats = component_stats(comp, n)
+
+    for i in range(1, n + 1):
+        if stats["count"][i] == 0:
+            continue
+        x0, y0, z0 = (int(v) for v in stats["bbox_min"][i])
+        x1, y1, z1 = (int(v) + 1 for v in stats["bbox_max"][i])
+        w, h, d = x1 - x0, y1 - y0, z1 - z0
+        Wb = _round_up(w, window_bucket)
+        Hb = _round_up(h, window_bucket)
+        Db = _round_up(d, window_bucket)
+        if max(Wb, Hb, Db) > max_window:
+            # exact fallback (unbucketed window of the component size)
+            Wb, Hb, Db = w, h, d
+
+        window = jax.lax.dynamic_slice(grid_p, (x0, y0, z0), (Wb, Hb, Db))
+        compw = jax.lax.dynamic_slice(comp, (x0, y0, z0), (Wb, Hb, Db))
+
+        crop2d = mask2d[y0:y1, x0:x1]  # (h, w)
+        m_wh = np.zeros((Wb, Hb), bool)
+        # reference _mask_to_wh precedence: square crops are treated as (H, W)
+        m_wh[:w, :h] = crop2d.T if crop2d.shape == (h, w) else crop2d
+        idx, dec = _stacked_plans_padded(w, d, Wb, Db, int(angle))
+
+        new_window = _guided_window_step(
+            window, compw, jnp.int32(i), jnp.asarray(m_wh),
+            jnp.asarray([w, h, d], jnp.int32),
+            jnp.asarray(idx), jnp.asarray(dec),
+        )
+        grid_p = jax.lax.dynamic_update_slice(grid_p, new_window, (x0, y0, z0))
+    return grid_p
+
+
+@functools.partial(jax.jit, static_argnames=("jobs",))
+def _extrude_all(
+    grid_p: Array,  # (Wp, Hp, Dp) padded labels
+    sem_wh_p: Array,  # (Wp, Hp) full-semantic labels (transposed + padded)
+    true_whd: Array,  # (3,) int32
+    jobs: Tuple[Tuple[int, int], ...],  # static: (part_id, depth)
+) -> Array:
+    """All interior extrusions in one program (reference extrude_4dirs x
+    parts, voxel_carving_utils.py:356-373), with traced true sizes
+    reproducing the reference's boundary behavior (empty columns fill from
+    index 0 / size-1)."""
+    Wp, Hp, Dp = grid_p.shape
+    w, h, d = true_whd[0], true_whd[1], true_whd[2]
+
+    def axis_iota(ax):
+        return jax.lax.broadcasted_iota(jnp.int32, (Wp, Hp, Dp), ax)
+
+    ix, iy, iz = axis_iota(0), axis_iota(1), axis_iota(2)
+    in_true = (ix < w) & (iy < h) & (iz < d)
+
+    for pid, depth in jobs:
+        mask_hw = sem_wh_p.T == pid  # (Hp, Wp)
+        for axis, positive in ((2, True), (2, False), (0, True), (0, False)):
+            occ = (grid_p > 0) & in_true
+            size = d if axis == 2 else w
+            it = iz if axis == 2 else ix
+            if positive:
+                first = jnp.argmax(occ, axis=axis)  # empty columns -> 0 (ref)
+            else:
+                # reference: start = size-1 - argmax(flipped occupancy)
+                # == index of the LAST occupied voxel; empty -> size-1.
+                last = (Dp - 1 if axis == 2 else Wp - 1) - jnp.argmax(
+                    jnp.flip(occ, axis=axis), axis=axis
+                )
+                empty = ~jnp.any(occ, axis=axis)
+                first = jnp.where(empty, size - 1, last)
+            if axis == 2:
+                valid = mask_hw.T  # (Wp, Hp)
+                coord = iz
+                start = first  # (Wp, Hp)
+                start_b = start[:, :, None]
+                valid_b = valid[:, :, None]
+            else:
+                valid = mask_hw  # (Hp, Wp) read as (Hp, Dp) — reference quirk
+                coord = ix
+                start = first  # (Hp, Dp)
+                start_b = start[None, :, :]
+                valid_b = valid[None, :, :]
+            filled = jnp.zeros((Wp, Hp, Dp), bool)
+            for k in range(depth):
+                pos = start_b + k if positive else start_b - k
+                ok = (pos >= 0) & (pos < size) & valid_b
+                filled = filled | ((coord == pos) & ok)
+            grid_p = jnp.where(filled, jnp.uint8(pid), grid_p)
+    return grid_p
+
+
+@jax.jit
+def _reorient_padded(grid_p: Array, true_whd: Array) -> Array:
+    """transpose(2,1,0) + flip(axis=1) over the TRUE height extent, keeping
+    the padded allocation (junk rows zeroed)."""
+    h = true_whd[1]
+    g = jnp.transpose(grid_p, (2, 1, 0))
+    Hp = g.shape[1]
+    iy = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    src = jnp.clip(h - 1 - iy, 0, Hp - 1)
+    flipped = jnp.take_along_axis(g, src, axis=1)
+    return jnp.where(iy < h, flipped, jnp.uint8(0))
+
+
+def recolor_backward_fused(
+    grid_p: Array,
+    k: int = 2,
+    sort_axis: int = 0,
+) -> Array:
+    pid = PART_IDS["front_minarets"]
+    new_pid = PART_IDS["back_minarets"]
+    comp, n = connected_components_device(grid_p == pid, "face")
+    if n <= k:
+        return grid_p
+    stats = component_stats(comp, n)
+    means = stats["centroid"][1 : n + 1, sort_axis]
+    keep = set((np.argsort(means, kind="stable")[:k] + 1).tolist())
+    recolor_ids = np.array([i for i in range(1, n + 1) if i not in keep], np.int32)
+    recolor_mask = jnp.isin(comp, jnp.asarray(recolor_ids))
+    return jnp.where(recolor_mask, jnp.uint8(new_pid), grid_p)
+
+
+def carve_monument_fused(
+    mask_set,
+    preset: config.CarvePreset = config.DEFAULT_CARVE_PRESET,
+    bucket: int = 64,
+    guided_margin: int = 128,
+) -> np.ndarray:
+    """Full stage 1, program-count-minimized.  Returns the uint8 label grid
+    (host numpy, true extent, reoriented frame — identical to
+    :func:`pbr3d.carving.stage1.carve_monument`)."""
+    binary = mask_set.binary  # (h, w)
+    ext = mask_set.exterior_labels
+    sem = mask_set.semantic_labels
+    h, w = binary.shape
+    d = w
+    # pad masks to the bucketed extent + guided-carve window margin
+    Wb = _round_up(w + guided_margin, bucket)
+    Hb = _round_up(h + guided_margin, bucket)
+    Db = Wb
+
+    def pad_wh(m):
+        out = np.zeros((Wb, Hb), m.dtype)
+        out[:w, :h] = m.T
+        return out
+
+    group_ids = tuple(
+        tuple(int(i) for i in config.part_ids(names))
+        for names, angle in preset.group_jobs
+    )
+    angles = {angle for _, angle in preset.group_jobs}
+    if angles != {preset.global_angle_interval}:
+        raise NotImplementedError(
+            "fused stage 1 assumes group angles == global angle; "
+            "use pbr3d.carving.stage1.carve_monument for exotic presets"
+        )
+    idx, dec = _stacked_plans_padded(w, d, Wb, Db, preset.global_angle_interval)
+    true_whd = jnp.asarray([w, h, d], jnp.int32)
+
+    grid_p = _global_and_part_carve(
+        jnp.asarray(pad_wh(binary)), jnp.asarray(pad_wh(ext)), true_whd,
+        jnp.asarray(idx), jnp.asarray(dec), group_ids,
+    )
+
+    for part, angle in preset.part_symmetry:
+        grid_p = guided_carve_fused(grid_p, ext, part, int(angle))
+
+    jobs = tuple((PART_IDS[p], int(depth)) for p, depth in preset.extrusion_depths)
+    if jobs:
+        grid_p = _extrude_all(grid_p, jnp.asarray(pad_wh(sem)), true_whd, jobs)
+
+    if preset.recolor_back_minarets:
+        # reoriented true extent is (d, h, w); the padded allocation persists
+        grid_p = _reorient_padded(grid_p, true_whd)
+        grid_p = recolor_backward_fused(grid_p)
+        return np.asarray(grid_p[:d, :h, :w])
+    return np.asarray(grid_p[:w, :h, :d])

@@ -56,7 +56,11 @@ def run_stage1(
     if max_dim is None:
         max_dim = config.GOLDEN_MAX_DIM.get(monument, config.MAX_DIM)
     masks = prepare_masks(data_root, monument, "front", max_dim)
-    grid = np.asarray(carve_monument(masks, preset))
+    # the fused path is bit-identical to carve_monument but compiles ~10x
+    # fewer programs (critical on this remote-compile backend)
+    from pbr3d.carving.fused import carve_monument_fused
+
+    grid = carve_monument_fused(masks, preset)
     if out_dir is not None:
         save_voxel_grid(
             Path(out_dir) / "1.Orthographic_Voxel_Carving" / f"{monument}_voxel_grid.npz",

@@ -47,6 +47,14 @@ def test_full_stage1_bit_exact(akbar_masks):
     np.testing.assert_array_equal(ours, oracle)
 
 
+def test_fused_stage1_bit_exact(akbar_masks):
+    from pbr3d.carving.fused import carve_monument_fused
+
+    oracle = rgb_to_labels(np.load(FIXTURE)["final"])
+    ours = carve_monument_fused(akbar_masks)
+    np.testing.assert_array_equal(ours, oracle)
+
+
 def test_full_stage1_vs_golden(akbar_masks, golden_root):
     gold = load_voxel_grid_labels(
         os.path.join(golden_root, "1.Orthographic_Voxel_Carving", "Akbar_voxel_grid.npz")
