@@ -51,6 +51,26 @@ def main():
         m: {k: round(v, 3) for k, v in r.timings.items()} for m, r in results.items()
     }
     print(f"[bench] per-monument stage timings: {per_stage}", file=sys.stderr)
+    quality = {
+        m: {
+            "stage3_mean_iou": round(
+                float(
+                    sum(d["iou"] for d in r.deform_params.values())
+                    / max(len(r.deform_params), 1)
+                ),
+                4,
+            ),
+            "views": sorted(r.cameras["final"]),
+        }
+        for m, r in results.items()
+    }
+    print(f"[bench] quality: {quality}", file=sys.stderr)
+    if len(results) < len(config.MONUMENTS):
+        print(
+            f"[bench] WARNING: only {len(results)}/{len(config.MONUMENTS)} "
+            "monuments completed",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
