@@ -129,14 +129,12 @@ def guided_carve_fused(
     part_name: str,
     angle: int,
     window_bucket: int = 32,
-    max_window: int = 128,
 ) -> Array:
     """Component-guided carve on bucket windows of the padded grid.
 
-    Components larger than ``max_window`` in any dimension fall back to the
-    exact per-crop path (rare: only huge parts).  The grid must carry at
-    least ``max_window`` voxels of zero padding per dimension so windows
-    always fit.
+    The grid must carry at least ``window_bucket`` voxels of zero padding per
+    dimension so bucketed windows always fit (component bboxes live in the
+    true extent, so x0 + round_up(w', bucket) <= true + bucket <= padded).
     """
     target = PART_IDS[part_name]
     mask2d = exterior_labels == target
@@ -157,9 +155,6 @@ def guided_carve_fused(
         Wb = _round_up(w, window_bucket)
         Hb = _round_up(h, window_bucket)
         Db = _round_up(d, window_bucket)
-        if max(Wb, Hb, Db) > max_window:
-            # exact fallback (unbucketed window of the component size)
-            Wb, Hb, Db = w, h, d
 
         window = jax.lax.dynamic_slice(grid_p, (x0, y0, z0), (Wb, Hb, Db))
         compw = jax.lax.dynamic_slice(comp, (x0, y0, z0), (Wb, Hb, Db))
