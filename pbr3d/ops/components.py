@@ -182,19 +182,77 @@ def _label_dense_device(mask: jax.Array, full_connectivity: bool, max_k: int):
     return labels, n, overflow
 
 
+def _platform() -> str:
+    return jax.devices()[0].platform
+
+
 def connected_components_device(
     mask, connectivity: str = "face", max_k: int = 256
 ) -> Tuple[jax.Array, int]:
-    """Like :func:`connected_components` but fully device-resident (no full
-    grid host round trip) — for consumers that keep the labels on device
-    (guided carving, recoloring).  Falls back to the host path on overflow.
+    """Like :func:`connected_components` but keeping labels on device — for
+    consumers that slice/compare them there (guided carving, recoloring).
+
+    On the axon TPU backend the large device labeling/unique programs were
+    observed to return NONDETERMINISTICALLY WRONG results (see
+    _component_stats_jit docstring for the sibling scatter issue), so there
+    the labels are computed on host via scipy (exact, ~0.3 s at 256³) and
+    shipped back; the all-device path is used on other backends.  Override
+    with PBR3D_COMPONENTS=device|host.
     """
+    import os
+
+    mode = os.environ.get("PBR3D_COMPONENTS", "auto")
+    use_host = mode == "host" or (mode == "auto" and _platform() not in ("cpu",))
     mask = jnp.asarray(mask, dtype=bool)
+    if use_host:
+        labels, n = _host_scipy_label(np.asarray(mask), connectivity)
+        return jnp.asarray(labels), n
     labels, n, overflow = _label_dense_device(mask, connectivity == "full", max_k)
     if bool(overflow):
         host_labels, n = connected_components(mask, connectivity)
         return jnp.asarray(host_labels), n
     return labels, int(n)
+
+
+def _host_component_stats(labels: np.ndarray, n: int):
+    """Host bbox/centroid/count via scipy.find_objects + bincount."""
+    import scipy.ndimage
+
+    nd = labels.ndim
+    rows = n + 1
+    mins = np.full((rows, nd), _BIG, np.int64)
+    maxs = np.full((rows, nd), -1, np.int64)
+    counts = np.zeros((rows,), np.float64)
+    centroid = np.zeros((rows, nd), np.float64)
+
+    slices = scipy.ndimage.find_objects(labels, max_label=n)
+    flat_counts = np.bincount(labels.ravel(), minlength=rows)[:rows]
+    counts[:] = flat_counts
+    coms = scipy.ndimage.center_of_mass(
+        np.ones_like(labels, np.uint8), labels, index=list(range(1, n + 1))
+    ) if n else []
+    for i, sl in enumerate(slices, start=1):
+        if sl is None:
+            continue
+        mins[i] = [s.start for s in sl]
+        maxs[i] = [s.stop - 1 for s in sl]
+        centroid[i] = coms[i - 1]
+    return {
+        "bbox_min": mins,
+        "bbox_max": maxs,
+        "centroid": centroid,
+        "count": counts,
+    }
+
+
+def _host_scipy_label(mask_np: np.ndarray, connectivity: str) -> Tuple[np.ndarray, int]:
+    import scipy.ndimage
+
+    structure = None
+    if connectivity == "full":
+        structure = np.ones((3,) * mask_np.ndim, dtype=bool)
+    labels, n = scipy.ndimage.label(mask_np, structure=structure)
+    return labels.astype(np.int32), int(n)
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments",))
@@ -240,7 +298,16 @@ def component_stats(labels: np.ndarray, n: int):
     The slot count is bucketed ({17, 65, 257, ...}) so calls share compiled
     programs (compiles are expensive on this backend) while the masked-
     reduction cost stays proportional to the actual component count.
+
+    On the axon TPU backend stats are computed on HOST (scipy/bincount) —
+    the large device reductions were observed to corrupt nondeterministically
+    there (see connected_components_device).
     """
+    import os
+
+    mode = os.environ.get("PBR3D_COMPONENTS", "auto")
+    if mode == "host" or (mode == "auto" and _platform() not in ("cpu",)):
+        return _host_component_stats(np.asarray(labels), n)
     num_segments = 17
     while num_segments <= n:
         num_segments = (num_segments - 1) * 4 + 1
