@@ -123,29 +123,16 @@ def _guided_window_step(
     return jnp.where(erase, jnp.uint8(0), window)
 
 
-def guided_carve_fused(
-    grid_p: Array,  # (Wp, Hp, Dp) padded label grid
-    exterior_labels: np.ndarray,  # (H, W) host labels (TRUE extent)
-    part_name: str,
+def _guided_windows_for_part(
+    grid_p: Array,
+    comp_host: np.ndarray,  # (Wp, Hp, Dp) int32 host component labels
+    n: int,
+    stats,
+    mask2d: np.ndarray,  # (H, W) bool, TRUE extent
     angle: int,
-    window_bucket: int = 32,
+    window_bucket: int,
 ) -> Array:
-    """Component-guided carve on bucket windows of the padded grid.
-
-    The grid must carry at least ``window_bucket`` voxels of zero padding per
-    dimension so bucketed windows always fit (component bboxes live in the
-    true extent, so x0 + round_up(w', bucket) <= true + bucket <= padded).
-    """
-    target = PART_IDS[part_name]
-    mask2d = exterior_labels == target
-    if not mask2d.any():
-        return grid_p
-
-    comp, n = connected_components_device(grid_p == target, "face")
-    if n == 0:
-        return grid_p
-    stats = component_stats(comp, n)
-
+    """Apply the per-component window carves given host labeling results."""
     for i in range(1, n + 1):
         if stats["count"][i] == 0:
             continue
@@ -156,8 +143,11 @@ def guided_carve_fused(
         Hb = _round_up(h, window_bucket)
         Db = _round_up(d, window_bucket)
 
+        # window content MUST come from the live device grid (prior parts'
+        # carving applies); the component labels are safely stale (a part's
+        # carve only erases its own voxels, reference semantics)
         window = jax.lax.dynamic_slice(grid_p, (x0, y0, z0), (Wb, Hb, Db))
-        compw = jax.lax.dynamic_slice(comp, (x0, y0, z0), (Wb, Hb, Db))
+        compw = comp_host[x0 : x0 + Wb, y0 : y0 + Hb, z0 : z0 + Db]
 
         crop2d = mask2d[y0:y1, x0:x1]  # (h, w)
         m_wh = np.zeros((Wb, Hb), bool)
@@ -166,12 +156,60 @@ def guided_carve_fused(
         idx, dec = _stacked_plans_padded(w, d, Wb, Db, int(angle))
 
         new_window = _guided_window_step(
-            window, compw, jnp.int32(i), jnp.asarray(m_wh),
+            window, jnp.asarray(compw), jnp.int32(i), jnp.asarray(m_wh),
             jnp.asarray([w, h, d], jnp.int32),
             jnp.asarray(idx), jnp.asarray(dec),
         )
         grid_p = jax.lax.dynamic_update_slice(grid_p, new_window, (x0, y0, z0))
     return grid_p
+
+
+def guided_carve_all(
+    grid_p: Array,
+    exterior_labels: np.ndarray,
+    part_symmetry,
+    window_bucket: int = 32,
+) -> Array:
+    """Component-guided carving for every part in ``part_symmetry``.
+
+    The padded grid is downloaded ONCE; all component labeling and stats run
+    on host (exact scipy; the slow tunnel makes repeated grid round trips the
+    dominant cost, and this backend's device labeling is unreliable — see
+    pbr3d.ops.components).  Only tiny per-window label crops are uploaded.
+    """
+    from pbr3d.ops.components import _host_scipy_label, _host_component_stats
+
+    parts = [
+        (p, a) for p, a in part_symmetry
+        if (exterior_labels == PART_IDS[p]).any()
+    ]
+    if not parts:
+        return grid_p
+    grid_host = np.asarray(grid_p)  # one download for ALL parts
+    for part, angle in parts:
+        target = PART_IDS[part]
+        comp, n = _host_scipy_label(grid_host == target, "face")
+        if n == 0:
+            continue
+        stats = _host_component_stats(comp, n)
+        grid_p = _guided_windows_for_part(
+            grid_p, comp, n, stats, exterior_labels == target,
+            int(angle), window_bucket,
+        )
+    return grid_p
+
+
+def guided_carve_fused(
+    grid_p: Array,
+    exterior_labels: np.ndarray,
+    part_name: str,
+    angle: int,
+    window_bucket: int = 32,
+) -> Array:
+    """Single-part convenience wrapper over :func:`guided_carve_all`."""
+    return guided_carve_all(
+        grid_p, exterior_labels, [(part_name, angle)], window_bucket
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("jobs",))
@@ -231,35 +269,29 @@ def _extrude_all(
     return grid_p
 
 
-@jax.jit
-def _reorient_padded(grid_p: Array, true_whd: Array) -> Array:
-    """transpose(2,1,0) + flip(axis=1) over the TRUE height extent, keeping
-    the padded allocation (junk rows zeroed)."""
-    h = true_whd[1]
-    g = jnp.transpose(grid_p, (2, 1, 0))
-    Hp = g.shape[1]
-    iy = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-    src = jnp.clip(h - 1 - iy, 0, Hp - 1)
-    flipped = jnp.take_along_axis(g, src, axis=1)
-    return jnp.where(iy < h, flipped, jnp.uint8(0))
-
-
-def recolor_backward_fused(
-    grid_p: Array,
+def reorient_recolor_host(
+    grid_true: np.ndarray,  # (w, h, d) uint8, TRUE extent, host
     k: int = 2,
     sort_axis: int = 0,
-) -> Array:
+) -> np.ndarray:
+    """The persistent transpose(2,1,0)+flip(1) reorientation followed by the
+    back-minaret recolor (reference voxel_carving_utils.py:252-266,383-393),
+    entirely on host — the grid is being downloaded for saving anyway, and
+    labeling runs on host on this backend (see pbr3d.ops.components)."""
+    from pbr3d.ops.components import _host_scipy_label, _host_component_stats
+
+    g = np.flip(np.transpose(grid_true, (2, 1, 0)), axis=1).copy()
     pid = PART_IDS["front_minarets"]
     new_pid = PART_IDS["back_minarets"]
-    comp, n = connected_components_device(grid_p == pid, "face")
+    comp, n = _host_scipy_label(g == pid, "face")
     if n <= k:
-        return grid_p
-    stats = component_stats(comp, n)
+        return g
+    stats = _host_component_stats(comp, n)
     means = stats["centroid"][1 : n + 1, sort_axis]
     keep = set((np.argsort(means, kind="stable")[:k] + 1).tolist())
     recolor_ids = np.array([i for i in range(1, n + 1) if i not in keep], np.int32)
-    recolor_mask = jnp.isin(comp, jnp.asarray(recolor_ids))
-    return jnp.where(recolor_mask, jnp.uint8(new_pid), grid_p)
+    g[np.isin(comp, recolor_ids)] = new_pid
+    return g
 
 
 def carve_monument_fused(
@@ -304,16 +336,13 @@ def carve_monument_fused(
         jnp.asarray(idx), jnp.asarray(dec), group_ids,
     )
 
-    for part, angle in preset.part_symmetry:
-        grid_p = guided_carve_fused(grid_p, ext, part, int(angle))
+    grid_p = guided_carve_all(grid_p, ext, preset.part_symmetry)
 
     jobs = tuple((PART_IDS[p], int(depth)) for p, depth in preset.extrusion_depths)
     if jobs:
         grid_p = _extrude_all(grid_p, jnp.asarray(pad_wh(sem)), true_whd, jobs)
 
+    grid_true = np.asarray(grid_p[:w, :h, :d])  # final download
     if preset.recolor_back_minarets:
-        # reoriented true extent is (d, h, w); the padded allocation persists
-        grid_p = _reorient_padded(grid_p, true_whd)
-        grid_p = recolor_backward_fused(grid_p)
-        return np.asarray(grid_p[:d, :h, :w])
-    return np.asarray(grid_p[:w, :h, :d])
+        return reorient_recolor_host(grid_true)
+    return grid_true
