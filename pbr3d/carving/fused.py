@@ -98,7 +98,6 @@ def _global_and_part_carve(
     return final
 
 
-@functools.partial(jax.jit, static_argnames=())
 def _guided_window_step(
     window: Array,  # (Wb, Hb, Db) uint8 labels
     compw: Array,  # (Wb, Hb, Db) int32 component labels
@@ -121,6 +120,33 @@ def _guided_window_step(
     carved = _sweep_padded(occ, m2, (plan_idx, plan_dec))
     erase = (compw == comp_id) & (carved == 0) & in_true
     return jnp.where(erase, jnp.uint8(0), window)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Wb", "Hb", "Db"), donate_argnums=(0,)
+)
+def _guided_window_apply(
+    grid_p: Array,  # (Wp, Hp, Dp) — donated, updated in place
+    start: Array,  # (3,) int32 window origin (TRACED: one program per bucket)
+    compw: Array,
+    comp_id: Array,
+    m_wh_p: Array,
+    true_whd: Array,
+    plan_idx: Array,
+    plan_dec: Array,
+    Wb: int,
+    Hb: int,
+    Db: int,
+) -> Array:
+    """Slice a window, guided-carve it, write it back — ONE dispatch with the
+    window ORIGIN as data, so every component sharing a bucket shape shares
+    one executable (eager dynamic_slice bakes concrete starts into fresh
+    programs, which cost a remote compile each on this backend)."""
+    window = jax.lax.dynamic_slice(grid_p, (start[0], start[1], start[2]), (Wb, Hb, Db))
+    new = _guided_window_step(
+        window, compw, comp_id, m_wh_p, true_whd, plan_idx, plan_dec
+    )
+    return jax.lax.dynamic_update_slice(grid_p, new, (start[0], start[1], start[2]))
 
 
 def _guided_windows_for_part(
@@ -146,7 +172,6 @@ def _guided_windows_for_part(
         # window content MUST come from the live device grid (prior parts'
         # carving applies); the component labels are safely stale (a part's
         # carve only erases its own voxels, reference semantics)
-        window = jax.lax.dynamic_slice(grid_p, (x0, y0, z0), (Wb, Hb, Db))
         compw = comp_host[x0 : x0 + Wb, y0 : y0 + Hb, z0 : z0 + Db]
 
         crop2d = mask2d[y0:y1, x0:x1]  # (h, w)
@@ -155,12 +180,11 @@ def _guided_windows_for_part(
         m_wh[:w, :h] = crop2d.T if crop2d.shape == (h, w) else crop2d
         idx, dec = _stacked_plans_padded(w, d, Wb, Db, int(angle))
 
-        new_window = _guided_window_step(
-            window, jnp.asarray(compw), jnp.int32(i), jnp.asarray(m_wh),
-            jnp.asarray([w, h, d], jnp.int32),
-            jnp.asarray(idx), jnp.asarray(dec),
+        grid_p = _guided_window_apply(
+            grid_p, jnp.asarray([x0, y0, z0], jnp.int32), jnp.asarray(compw),
+            jnp.int32(i), jnp.asarray(m_wh), jnp.asarray([w, h, d], jnp.int32),
+            jnp.asarray(idx), jnp.asarray(dec), Wb, Hb, Db,
         )
-        grid_p = jax.lax.dynamic_update_slice(grid_p, new_window, (x0, y0, z0))
     return grid_p
 
 
