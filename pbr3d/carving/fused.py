@@ -171,8 +171,14 @@ def _guided_windows_for_part(
 
         # window content MUST come from the live device grid (prior parts'
         # carving applies); the component labels are safely stale (a part's
-        # carve only erases its own voxels, reference semantics)
-        compw = comp_host[x0 : x0 + Wb, y0 : y0 + Hb, z0 : z0 + Db]
+        # carve only erases its own voxels, reference semantics).  comp_host
+        # covers the TRUE extent only; windows reaching into the padding get
+        # zero labels there.
+        compw = np.zeros((Wb, Hb, Db), comp_host.dtype)
+        xs = min(comp_host.shape[0], x0 + Wb)
+        ys = min(comp_host.shape[1], y0 + Hb)
+        zs = min(comp_host.shape[2], z0 + Db)
+        compw[: xs - x0, : ys - y0, : zs - z0] = comp_host[x0:xs, y0:ys, z0:zs]
 
         crop2d = mask2d[y0:y1, x0:x1]  # (h, w)
         m_wh = np.zeros((Wb, Hb), bool)
@@ -209,15 +215,19 @@ def guided_carve_all(
     ]
     if not parts:
         return grid_p
-    grid_host = np.asarray(grid_p)  # one download for ALL parts
+    # one download; label only the TRUE extent (the padding is empty and the
+    # host CPU here is slow enough that array size matters)
+    H_img, W_img = exterior_labels.shape
+    w, h, d = W_img, H_img, W_img
+    grid_host = np.asarray(grid_p)[:w, :h, :d]
     for part, angle in parts:
         target = PART_IDS[part]
-        comp, n = _host_scipy_label(grid_host == target, "face")
+        comp_true, n = _host_scipy_label(grid_host == target, "face")
         if n == 0:
             continue
-        stats = _host_component_stats(comp, n)
+        stats = _host_component_stats(comp_true, n)
         grid_p = _guided_windows_for_part(
-            grid_p, comp, n, stats, exterior_labels == target,
+            grid_p, comp_true, n, stats, exterior_labels == target,
             int(angle), window_bucket,
         )
     return grid_p

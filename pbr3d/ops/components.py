@@ -215,7 +215,10 @@ def connected_components_device(
 
 
 def _host_component_stats(labels: np.ndarray, n: int):
-    """Host bbox/centroid/count via scipy.find_objects + bincount."""
+    """Host bbox/centroid/count: find_objects (fast C) for the bboxes, then
+    per-component counts/centroids inside the SMALL bbox slices only —
+    full-grid bincount/center_of_mass take tens of seconds on this
+    container's weak CPU."""
     import scipy.ndimage
 
     nd = labels.ndim
@@ -226,17 +229,16 @@ def _host_component_stats(labels: np.ndarray, n: int):
     centroid = np.zeros((rows, nd), np.float64)
 
     slices = scipy.ndimage.find_objects(labels, max_label=n)
-    flat_counts = np.bincount(labels.ravel(), minlength=rows)[:rows]
-    counts[:] = flat_counts
-    coms = scipy.ndimage.center_of_mass(
-        np.ones_like(labels, np.uint8), labels, index=list(range(1, n + 1))
-    ) if n else []
     for i, sl in enumerate(slices, start=1):
         if sl is None:
             continue
-        mins[i] = [s.start for s in sl]
+        lo = np.array([s.start for s in sl], np.int64)
+        mins[i] = lo
         maxs[i] = [s.stop - 1 for s in sl]
-        centroid[i] = coms[i - 1]
+        local = labels[sl] == i
+        counts[i] = local.sum()
+        coords = np.argwhere(local)
+        centroid[i] = coords.mean(axis=0) + lo
     return {
         "bbox_min": mins,
         "bbox_max": maxs,
