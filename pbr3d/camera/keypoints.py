@@ -46,7 +46,12 @@ def extract_minaret_voxels_by_label(
         for cid in range(1, n + 1):
             if stats["count"][cid] == 0:
                 continue
-            coords = np.argwhere(comp == cid)
+            # coords from the small bbox slice (full-grid argwhere per
+            # component costs seconds on this container's CPU)
+            lo = stats["bbox_min"][cid]
+            hi = stats["bbox_max"][cid] + 1
+            sl = tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
+            coords = np.argwhere(comp[sl] == cid) + np.asarray(lo)
             centroid = stats["centroid"][cid]
             height = int(stats["bbox_max"][cid, 1] - stats["bbox_min"][cid, 1])
             components.append((centroid, height, coords))

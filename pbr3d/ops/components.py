@@ -151,7 +151,16 @@ def connected_components(
 
     Returns ``(labels int32 (same shape; 0 = background, 1..n in scipy raster
     order), n)`` as host numpy.
+
+    On the axon TPU backend this routes to host scipy — the device labeling
+    programs were observed to return wrong results nondeterministically
+    there (override with PBR3D_COMPONENTS=device).
     """
+    import os
+
+    mode = os.environ.get("PBR3D_COMPONENTS", "auto")
+    if mode == "host" or (mode == "auto" and _platform() not in ("cpu",)):
+        return _host_scipy_label(np.asarray(mask), connectivity)
     mask = jnp.asarray(mask, dtype=bool)
     roots = np.asarray(_label_roots(mask, connectivity == "full"))
     mask_np = roots < _BIG
