@@ -18,6 +18,30 @@ from pbr3d import config
 from pbr3d.ops.components import connected_components, component_stats
 
 
+class PointCache:
+    """One full-grid pass, then per-part point sets by cheap filtering.
+
+    ``points_by_parts`` scans the whole grid per call; with many parts on
+    this container's slow host CPU those scans dominate stage 3.  The cache
+    extracts ALL occupied voxels once (raster order preserved) and filters
+    the flat label vector per part.
+    """
+
+    def __init__(self, grid_labels: np.ndarray):
+        g = np.asarray(grid_labels)
+        d0, d1, d2 = np.where(g > 0)
+        self._pts = np.stack([d2, d1, d0], axis=1).astype(np.float32)
+        self._labels = g[d0, d1, d2]
+
+    def points_by_parts(self, part_names: Sequence[str]):
+        ids = config.part_ids(part_names)
+        keep = np.isin(self._labels, ids)
+        return self._pts[keep], self._labels[keep]
+
+    def all_points(self):
+        return self._pts, self._labels
+
+
 def points_by_parts(
     grid_labels: np.ndarray, part_names: Sequence[str]
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -101,6 +101,7 @@ def optimize_part_deform(
     refine_steps: int = 3,
     chunk: int = 64,
     mode: str = "separable",
+    _points=None,
 ) -> Tuple[np.ndarray, float]:
     """Best (scale_y, shift_y, scale_xz, shift_xz) for one part + its IoU.
 
@@ -115,7 +116,7 @@ def optimize_part_deform(
     directions.
     """
     pid = config.PART_IDS[part]
-    pts, _ = points_by_parts(grid_labels, [part])
+    pts = _points if _points is not None else points_by_parts(grid_labels, [part])[0]
     if len(pts) == 0:
         return IDENTITY_DEFORM.copy(), 0.0
     voxel_shape = np.asarray(grid_labels).shape[:3]
@@ -202,14 +203,19 @@ def refine_parts(
 ) -> Dict[str, Dict]:
     """Optimize every (present) part; returns {part: {deform, iou}} like the
     reference's saved_params (deformation_estimation.py:262-286)."""
+    from pbr3d.carving.voxel import PointCache
+
     if part_names is None:
         part_names = [p for p in config.PART_NAMES if p != "background"]
-    present = set(np.unique(np.asarray(grid_labels)))
+    cache = PointCache(grid_labels)  # one grid scan for all parts
+    present = set(np.unique(cache._labels))
     out = {}
     for part in part_names:
         if config.PART_IDS[part] not in present:
             continue
-        deform, iou = optimize_part_deform(grid_labels, part, mask_labels, cam, **kw)
+        deform, iou = optimize_part_deform(
+            grid_labels, part, mask_labels, cam,
+            _points=cache.points_by_parts([part])[0], **kw)
         out[part] = {
             "deform": {
                 "scale_y": float(deform[0]),

@@ -141,9 +141,12 @@ def run_stage3(
     mask = load_mask_labels(data_root, monument, "front", max_dim)
 
     deforms = refine_parts(grid_labels, mask, cam_final_front, part_names, **search_kw)
+    from pbr3d.carving.voxel import PointCache
+
+    cache = PointCache(grid_labels)
     part_points = {}
     for part in deforms:
-        pts, _ = points_by_parts(grid_labels, [part])
+        pts, _ = cache.points_by_parts([part])
         p, _, v = pad_points(pts, np.zeros(len(pts), np.uint8), bucket_size(len(pts)))
         part_points[part] = (p, v)
     deform_vecs = {
