@@ -112,8 +112,9 @@ def refine_camera_mask_iou(
     true_hw = jnp.asarray([H, W], jnp.int32)
 
     # Bound per-eval device memory: each candidate materializes a handful of
-    # N-length projection intermediates.
-    chunk = max(1, min(population, (1 << 25) // max(1, p.shape[0])))
+    # N-length projection intermediates (~25 B/point -> ~1.7 GB at this
+    # budget).  Big batches matter: tunnel dispatch latency dominates.
+    chunk = max(1, min(population, (1 << 26) // max(1, p.shape[0])))
     chunk = 1 << (chunk.bit_length() - 1)  # pow2 -> few compiled shapes
 
     def batch_eval(vecs: np.ndarray) -> np.ndarray:
