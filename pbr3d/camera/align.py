@@ -142,8 +142,10 @@ def refine_camera_mask_iou(
     best = np.asarray(params_to_vector(init_params), np.float64)
     best_iou = float(batch_eval(best[None])[0])
 
-    # 1. random-search generations
+    # 1. random-search generations (early-stop once the step sizes have
+    # collapsed without improvement — device round trips are expensive here)
     stall = 0
+    shrinks = 0
     for _ in range(generations):
         cand = best[None] + rng.uniform(-1, 1, (population, 9)) * steps[None]
         cand = apply_lock(cand)
@@ -157,6 +159,9 @@ def refine_camera_mask_iou(
             if stall >= 3:
                 steps *= 0.7
                 stall = 0
+                shrinks += 1
+                if shrinks >= 4:
+                    break
 
     # 2. batched coordinate descent, annealed from the reference's ±20
     delta = 20.0
