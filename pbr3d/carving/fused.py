@@ -34,10 +34,6 @@ import numpy as np
 from pbr3d import config
 from pbr3d.config import PART_IDS
 from pbr3d.ops.carve import _round_up, _stacked_plans_padded, _sweep_scan
-from pbr3d.ops.components import (
-    component_stats,
-    connected_components_device,
-)
 
 Array = jax.Array
 

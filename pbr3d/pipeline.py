@@ -28,7 +28,7 @@ from pbr3d.camera.keypoints import extract_minaret_kps_for_view
 from pbr3d.carving.stage1 import carve_monument
 from pbr3d.deform.search import refine_parts
 from pbr3d.deform.warp import build_deformed_grid
-from pbr3d.carving.voxel import bucket_size, pad_points, points_by_parts
+from pbr3d.carving.voxel import bucket_size, pad_points
 from pbr3d.io.artifacts import save_camera_params, save_voxel_grid
 from pbr3d.io.masks import load_mask_labels, prepare_masks
 
