@@ -100,7 +100,9 @@ def run_stage2(
                 grid_labels, mask, list(ALIGN_PARTS)
             )
         except ValueError as e:
-            print(f"[stage2] {monument}/{view} skipped: {e}")
+            import sys
+
+            print(f"[stage2] {monument}/{view} skipped: {e}", file=sys.stderr)
             continue
         init_params[view] = init
         kp_params[view] = optimize_camera_with_keypoints(
