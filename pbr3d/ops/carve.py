@@ -58,6 +58,11 @@ def _stacked_plans(W: int, D: int, angle_interval: int):
 @functools.lru_cache(maxsize=512)
 def _stacked_plans_padded(W: int, D: int, Wp: int, Dp: int, angle_interval: int):
     angles = [a for a in sweep_angles(angle_interval) if a % 360 != 0]
+    if not angles:
+        return (
+            np.zeros((0, 4, Wp * Dp), np.int32),
+            np.zeros((0, Wp * Dp), np.int32),
+        )
     idxs, decs = zip(*(lut_plan_embedded(W, D, Wp, Dp, float(a)) for a in angles))
     return np.stack(idxs), np.stack(decs)
 

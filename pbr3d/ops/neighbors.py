@@ -92,6 +92,12 @@ def knn(A: np.ndarray, B: np.ndarray, k: int, tile: int = _TILE):
     d2, idx = _knn_padded(Ap, Bp, bv, k, tile)
     d2 = np.asarray(d2)[:n]
     idx = np.asarray(idx)[:n]
+    # When k exceeds the valid point count the trailing columns are
+    # inf-distance ties pointing at padding rows; redirect their indices to
+    # the nearest valid neighbor (distance stays inf so callers can detect).
+    invalid = ~np.isfinite(d2)
+    if invalid.any():
+        idx = np.where(invalid, idx[:, :1], idx)
     return np.sqrt(np.maximum(d2, 0.0)), idx
 
 

@@ -137,9 +137,11 @@ def run_stage3(
     """Part-wise 3D refinement (notebook 3) under the fixed front camera."""
     if pad is None:
         pad = config.STAGE3_PAD.get(monument, 0)
+    # max_dim follows the UNPADDED grid (the notebook loads the front mask at
+    # the stage-1 resolution before padding, notebook 3 cells 3/6).
+    max_dim = int(np.max(grid_labels.shape))
     if pad:
         grid_labels = np.pad(grid_labels, ((0, 0), (0, pad), (0, 0)))
-    max_dim = int(np.max(grid_labels.shape))
     mask = load_mask_labels(data_root, monument, "front", max_dim)
 
     deforms = refine_parts(grid_labels, mask, cam_final_front, part_names, **search_kw)
