@@ -132,9 +132,23 @@ def run_stage3(
     out_dir: Optional[str | Path] = None,
     pad: Optional[int] = None,
     part_names: Optional[Sequence[str]] = None,
+    overrides: Optional[Dict | str | Path] = None,
     **search_kw,
 ):
-    """Part-wise 3D refinement (notebook 3) under the fixed front camera."""
+    """Part-wise 3D refinement (notebook 3) under the fixed front camera.
+
+    ``overrides`` — optional {part: {scale_y, shift_y, scale_xz, shift_xz}}
+    dict or path to such a JSON: those parts take the given deform verbatim
+    instead of being searched (the escape hatch replacing the reference's
+    human slider session, deformation_estimation.py:15-356)."""
+    if isinstance(overrides, (str, Path)):
+        import json
+
+        with open(overrides) as fh:
+            overrides = json.load(fh)
+        overrides = {
+            p: (d["deform"] if "deform" in d else d) for p, d in overrides.items()
+        }
     if pad is None:
         pad = config.STAGE3_PAD.get(monument, 0)
     # max_dim follows the UNPADDED grid (the notebook loads the front mask at
@@ -144,7 +158,10 @@ def run_stage3(
         grid_labels = np.pad(grid_labels, ((0, 0), (0, pad), (0, 0)))
     mask = load_mask_labels(data_root, monument, "front", max_dim)
 
-    deforms = refine_parts(grid_labels, mask, cam_final_front, part_names, **search_kw)
+    deforms = refine_parts(
+        grid_labels, mask, cam_final_front, part_names,
+        overrides=overrides, **search_kw,
+    )
     from pbr3d.carving.voxel import PointCache
 
     cache = PointCache(grid_labels)

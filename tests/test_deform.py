@@ -111,3 +111,86 @@ def test_optimize_part_deform_recovers_shift():
         Hp, Wp,
     )[0])
     assert iou >= iou_id
+
+
+def _simple_cam(size):
+    c = size / 2.0
+    return {
+        "cam_pos": np.array([c, c, -2.5 * size]),
+        "target": np.array([c, c, c]),
+        "f": 2.0 * size, "cx": c, "cy": c,
+    }
+
+
+def test_visible_objective_respects_occlusion():
+    """A fully occluded part must score ~0 visible IoU even where its
+    unoccluded splat would overlap the GT perfectly (the notebook-4
+    z-test, eval_helpers_intra.py:168-190)."""
+    from pbr3d.carving.voxel import bucket_size, pad_points
+    from pbr3d.camera.geometry import params_to_vector
+    from pbr3d.deform.search import _batch_deform_visible_iou, IDENTITY_DEFORM
+
+    size = 32
+    grid = np.zeros((size, size, size), np.uint8)
+    pid = config.PART_IDS["dome"]
+    grid[16:20, 10:20, 10:20] = pid  # the part, at depth z=16..19
+    d0, d1, d2 = np.where(grid == pid)
+    pts = np.stack([d2, d1, d0], 1).astype(np.float32)
+    p, _, v = pad_points(pts, np.zeros(len(pts), np.uint8), bucket_size(len(pts)))
+    cam = _simple_cam(size)
+    H = W = size
+    Hp = Wp = 128
+    gt = np.zeros((Hp, Wp), bool)
+    gt[12:20, 12:20] = True
+
+    kw = dict(
+        coords=jnp.asarray(p), valid=jnp.asarray(v),
+        cam_vec=params_to_vector(cam), gt_part=jnp.asarray(gt),
+        true_hw=jnp.asarray([H, W], np.int32),
+        voxel_shape=jnp.asarray([size, size, size], np.int32),
+        H=Hp, W=Wp,
+    )
+    no_occ = np.full((Hp, Wp), np.inf, np.float32)
+    iou_free = float(_batch_deform_visible_iou(
+        jnp.asarray(IDENTITY_DEFORM)[None], rest_zbuf=jnp.asarray(no_occ), **kw)[0])
+    assert iou_free > 0.3
+
+    # an occluder covering the whole image closer than any part point
+    occ = np.full((Hp, Wp), 1.0, np.float32)
+    iou_occ = float(_batch_deform_visible_iou(
+        jnp.asarray(IDENTITY_DEFORM)[None], rest_zbuf=jnp.asarray(occ), **kw)[0])
+    assert iou_occ == 0.0
+
+
+def test_refine_parts_pins_minarets_and_applies_overrides():
+    from pbr3d.deform.search import refine_parts, IDENTITY_DEFORM
+
+    size = 48
+    grid = np.zeros((size, size, size), np.uint8)
+    mid = config.PART_IDS["front_minarets"]
+    did = config.PART_IDS["dome"]
+    grid[20:28, 8:40, 4:10] = mid
+    grid[20:28, 8:20, 20:28] = did
+    mask = np.zeros((size, size), np.uint8)
+    mask[6:40, 2:12] = mid
+    mask[16:34, 18:34] = did
+    cam = _simple_cam(size)
+
+    forced = {"scale_y": 1.05, "shift_y": 2.0, "scale_xz": 0.95, "shift_xz": -1.0}
+    out = refine_parts(
+        grid, mask, cam,
+        part_names=["front_minarets", "dome"],
+        overrides={"dome": forced},
+        search_stride=1, chunk=16,
+        scale_range=(0.9, 1.1, 3), shift_range=(-10, 10, 3), refine_steps=3,
+    )
+    # minarets pinned to identity (notebook-4 minarets row uses INIT points)
+    assert np.allclose(
+        [out["front_minarets"]["deform"][k]
+         for k in ("scale_y", "shift_y", "scale_xz", "shift_xz")],
+        IDENTITY_DEFORM,
+    )
+    # overrides taken verbatim, no search
+    for k, val in forced.items():
+        assert out["dome"]["deform"][k] == pytest.approx(val)
+    assert 0.0 <= out["dome"]["iou"] <= 1.0
