@@ -4,15 +4,17 @@ reference's interactive "smart aligner" (utils/camera_estimation.py:479-768).
 The reference maximizes mean per-part color-exact IoU between the splat
 projection and the selected-parts mask with human-triggered Random Search /
 Coordinate Descent / Powell, one 86 ms objective evaluation at a time.  Here
-the same objective is evaluated for a whole *population* of candidate cameras
-in a single vmapped device program, and the search is an automated
-evolution-style loop:
+the ENTIRE search runs as one compiled device program (``lax.scan`` over
+generations, ``jax.random`` for proposals, a vmapped splat+IoU objective per
+candidate), so a whole view costs a single dispatch over the remote tunnel
+instead of one per generation:
 
   1. random-search generations with the reference's step sizes
      (cam +-[50,50,100], target +-[50,50,100], f +-50, cx/cy +-20),
-     shrinking on stagnation;
-  2. batched coordinate-descent polish (all +-delta probes of all 9 DoF in
-     one batch, delta annealed from the reference's fixed 20);
+     shrinking 0.7x after 3 stagnant generations, frozen after 4 shrinks
+     (the host-loop early-stop, expressed as a no-op state update);
+  2. scanned coordinate-descent polish (all +-delta probes of all 9 DoF per
+     round, delta halved on failure, annealed from the reference's fixed 20);
   3. optional ``lock_xy_equal`` tying cam x/y to target x/y.
 
 Deterministic given the seed.
@@ -32,20 +34,116 @@ from pbr3d.camera.geometry import params_to_vector, vector_to_params
 from pbr3d.carving.voxel import bucket_size, pad_points, points_by_parts
 from pbr3d.ops.projection import partwise_iou, splat_labels
 
+#: Reference step sizes (camera_estimation.py:605-616).
+_STEPS0 = np.array([50, 50, 100, 50, 50, 100, 50, 20, 20], np.float32)
+
+
+def _candidate_iou(x, pts, labels, valid, gt_labels, part_ids, true_hw, H, W):
+    img = splat_labels(
+        pts, labels, valid, x[0:3], x[3:6], x[6], x[7], x[8], H, W, true_hw
+    )
+    return partwise_iou(img, gt_labels, part_ids)[1]
+
+
+def _batch_iou_impl(cam_vecs, pts, labels, valid, gt_labels, part_ids, true_hw,
+                    H: int, W: int):
+    return jax.vmap(
+        lambda x: _candidate_iou(x, pts, labels, valid, gt_labels, part_ids,
+                                 true_hw, H, W)
+    )(cam_vecs)
+
 
 @functools.partial(jax.jit, static_argnames=("H", "W"))
 def _batch_iou(cam_vecs, pts, labels, valid, gt_labels, part_ids, true_hw,
                H: int, W: int):
     """(H, W) is the padded plane allocation; ``true_hw`` the real extent —
     only bucketed shapes reach the compiler (compiles are expensive here)."""
+    return _batch_iou_impl(cam_vecs, pts, labels, valid, gt_labels, part_ids,
+                           true_hw, H, W)
 
-    def one(x):
-        img = splat_labels(
-            pts, labels, valid, x[0:3], x[3:6], x[6], x[7], x[8], H, W, true_hw
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "generations", "population", "cd_rounds", "lock_xy_equal",
+        "pop_chunk",
+    ),
+)
+def _search_device(
+    seed: jax.Array,  # scalar int32
+    init_vec: jax.Array,  # (9,) f32
+    pts, labels, valid, gt_labels, part_ids, true_hw,
+    H: int, W: int,
+    generations: int, population: int, cd_rounds: int,
+    lock_xy_equal: bool, pop_chunk: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full random-search + coordinate-descent refinement in ONE program.
+
+    ``pop_chunk`` bounds the candidates evaluated concurrently (device
+    memory: each candidate materializes a handful of N-length projection
+    intermediates); populations larger than it are scanned with ``lax.map``.
+    """
+
+    def lock(c):
+        return c.at[:, 0:2].set(c[:, 3:5]) if lock_xy_equal else c
+
+    def eval_batch(vecs):
+        ev = lambda b: _batch_iou_impl(
+            b, pts, labels, valid, gt_labels, part_ids, true_hw, H, W
         )
-        return partwise_iou(img, gt_labels, part_ids)[1]
+        P = vecs.shape[0]
+        if P > pop_chunk:
+            pad = (-P) % pop_chunk
+            if pad:  # static-shape pad with repeats of the last row
+                vecs = jnp.concatenate(
+                    [vecs, jnp.broadcast_to(vecs[-1], (pad, 9))]
+                )
+            out = jax.lax.map(ev, vecs.reshape(-1, pop_chunk, 9)).reshape(-1)
+            return out[:P]
+        return ev(vecs)
 
-    return jax.vmap(one)(cam_vecs)
+    init_iou = eval_batch(init_vec[None])[0]
+
+    def gen_step(carry, key):
+        best, biou, steps, stall, shrinks = carry
+        alive = shrinks < 4  # the host loop broke after 4 shrinks
+        u = jax.random.uniform(key, (population, 9), jnp.float32, -1.0, 1.0)
+        cand = lock(best[None] + u * steps[None])
+        ious = eval_batch(cand)
+        i = jnp.argmax(ious)
+        imp = (ious[i] > biou) & alive
+        best = jnp.where(imp, cand[i], best)
+        biou = jnp.where(imp, ious[i], biou)
+        stall = jnp.where(imp, 0, stall + jnp.int32(alive))
+        do_shrink = (stall >= 3) & alive
+        steps = jnp.where(do_shrink, steps * 0.7, steps)
+        shrinks = shrinks + jnp.int32(do_shrink)
+        stall = jnp.where(do_shrink, 0, stall)
+        return (best, biou, steps, stall, shrinks), None
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), generations)
+    carry = (init_vec, init_iou, jnp.asarray(_STEPS0), jnp.int32(0), jnp.int32(0))
+    (best, biou, *_), _ = jax.lax.scan(gen_step, carry, keys)
+
+    # coordinate descent: all +-delta probes of the 9 DoF in one batch
+    offs = jnp.concatenate([jnp.eye(9, dtype=jnp.float32),
+                            -jnp.eye(9, dtype=jnp.float32)])
+
+    def cd_step(carry, _):
+        best, biou, delta = carry
+        probes = lock(best[None] + offs * delta)
+        ious = eval_batch(probes)
+        i = jnp.argmax(ious)
+        imp = ious[i] > biou
+        best = jnp.where(imp, probes[i], best)
+        biou = jnp.where(imp, ious[i], biou)
+        delta = jnp.where(imp, delta, delta * 0.5)
+        return (best, biou, delta), None
+
+    (best, biou, _), _ = jax.lax.scan(
+        cd_step, (best, biou, jnp.float32(20.0)), None, length=cd_rounds
+    )
+    return best, biou
 
 
 def _pad_plane(mask_labels: np.ndarray):
@@ -107,78 +205,26 @@ def refine_camera_mask_iou(
     pts, labels = points_by_parts(grid_labels, parts_for_alignment)
     p, l, v = map(jnp.asarray, pad_points(pts, labels, bucket_size(len(pts))))
     gt_p, (Hp, Wp) = _pad_plane(mask_labels_selected(mask_labels, parts_for_alignment))
-    gt = jnp.asarray(gt_p)
-    ids = jnp.asarray(config.part_ids(parts_for_alignment))
-    true_hw = jnp.asarray([H, W], jnp.int32)
 
-    # Bound per-eval device memory: each candidate materializes a handful of
-    # N-length projection intermediates (~25 B/point -> ~1.7 GB at this
-    # budget).  Big batches matter: tunnel dispatch latency dominates.
-    chunk = max(1, min(population, (1 << 26) // max(1, p.shape[0])))
-    chunk = 1 << (chunk.bit_length() - 1)  # pow2 -> few compiled shapes
+    # Bound per-eval device memory: each concurrent candidate materializes a
+    # handful of N-length projection intermediates (~25 B/point -> ~1.7 GB at
+    # this budget).  Bigger concurrent batches only help until the ALUs are
+    # saturated; beyond that they just raise peak memory.
+    pop_chunk = max(1, min(population, (1 << 26) // max(1, p.shape[0])))
+    pop_chunk = 1 << (pop_chunk.bit_length() - 1)  # pow2 -> few compiled shapes
+    population = max(pop_chunk, (population // pop_chunk) * pop_chunk)
 
-    def batch_eval(vecs: np.ndarray) -> np.ndarray:
-        vecs = np.asarray(vecs, np.float32)
-        P = len(vecs)
-        pad = (-P) % chunk
-        if pad:
-            vecs = np.concatenate([vecs, np.repeat(vecs[-1:], pad, axis=0)])
-        outs = [
-            np.asarray(_batch_iou(
-                jnp.asarray(vecs[i : i + chunk]), p, l, v, gt, ids, true_hw, Hp, Wp))
-            for i in range(0, len(vecs), chunk)
-        ]
-        return np.concatenate(outs)[:P]
-
-    def apply_lock(vecs: np.ndarray) -> np.ndarray:
-        if lock_xy_equal:
-            vecs = vecs.copy()
-            vecs[:, 0:2] = vecs[:, 3:5]
-        return vecs
-
-    rng = np.random.default_rng(seed)
-    steps = np.array([50, 50, 100, 50, 50, 100, 50, 20, 20], np.float64)
-
-    best = np.asarray(params_to_vector(init_params), np.float64)
-    best_iou = float(batch_eval(best[None])[0])
-
-    # 1. random-search generations (early-stop once the step sizes have
-    # collapsed without improvement — device round trips are expensive here)
-    stall = 0
-    shrinks = 0
-    for _ in range(generations):
-        cand = best[None] + rng.uniform(-1, 1, (population, 9)) * steps[None]
-        cand = apply_lock(cand)
-        ious = batch_eval(cand)
-        k = int(np.argmax(ious))
-        if ious[k] > best_iou:
-            best, best_iou = cand[k].copy(), float(ious[k])
-            stall = 0
-        else:
-            stall += 1
-            if stall >= 3:
-                steps *= 0.7
-                stall = 0
-                shrinks += 1
-                if shrinks >= 4:
-                    break
-
-    # 2. batched coordinate descent, annealed from the reference's ±20
-    delta = 20.0
-    for _ in range(cd_rounds):
-        probes = []
-        for i in range(9):
-            for s in (-delta, delta):
-                c = best.copy()
-                c[i] += s
-                probes.append(c)
-        probes = apply_lock(np.stack(probes))
-        ious = batch_eval(probes)
-        k = int(np.argmax(ious))
-        if ious[k] > best_iou:
-            best, best_iou = probes[k].copy(), float(ious[k])
-        else:
-            delta *= 0.5
+    best, best_iou = _search_device(
+        jnp.int32(seed),
+        jnp.asarray(params_to_vector(init_params), jnp.float32),
+        p, l, v,
+        jnp.asarray(gt_p),
+        jnp.asarray(config.part_ids(parts_for_alignment)),
+        jnp.asarray([H, W], jnp.int32),
+        Hp, Wp,
+        generations, population, cd_rounds, lock_xy_equal, pop_chunk,
+    )
+    best = np.asarray(best, np.float64)
 
     params = vector_to_params(jnp.asarray(best), H=H, W=W)
     out = {
@@ -190,4 +236,4 @@ def refine_camera_mask_iou(
         "H": H,
         "W": W,
     }
-    return out, best_iou
+    return out, float(best_iou)
