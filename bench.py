@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Headline benchmark: full 3-stage reconstruction of all 5 monuments.
+"""Headline benchmark: full 3-stage reconstruction of all 5 monuments,
+with built-in quality gates.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N,
+   "stage1_iou_min": ..., "stage3_whole_iou_min": ..., "quality_ok": bool}
 
 Baseline (BASELINE.md): the reference needs 29.7 s/monument at max_dim=256 on
 one CPU core for stage 1 ALONE (its stages 2-3 are human-interactive and have
@@ -11,12 +13,27 @@ no automated baseline), i.e. >= 148.5 s for the 5-monument batch.
 our time covers ALL THREE stages (carving + automated camera estimation +
 automated part refinement).
 
+Timing protocol: pass 1 is the cold (compile) pass; the reported value is the
+MEDIAN of the remaining steady-state passes (default 3 passes total — the
+tunnel showed 20-25% run-to-run variance in round 1).
+
+Quality gates (computed once from the last pass):
+* stage-1 occupancy IoU per monument vs the reference golden
+  (results/1.Orthographic_Voxel_Carving, stride-downsampled to the bench
+  resolution).  Threshold 0.95: the goldens are drifted snapshots — the live
+  reference code itself only scores ~0.967 against them (tests/test_stage1.py
+  docstring); bit-exactness vs the LIVE reference is asserted separately by
+  tests/test_stage1.py fixtures.
+* stage-3 whole-silhouette visibility-aware IoU (the notebook-4 "whole" row,
+  eval_helpers_intra.py:560-748) per monument, threshold 0.80.
+
 A persistent XLA compilation cache under .jax_cache amortizes the remote-TPU
 compile cost across runs; the first cold run is compile-dominated.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -28,40 +45,97 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+import numpy as np
+
 from pbr3d import config
 from pbr3d.pipeline import run_all
 
 BASELINE_S = 148.5  # 5 x 29.7 s (reference stage 1 only, max_dim=256, 1 CPU core)
+GOLDEN_DIR = "/root/reference/results/1.Orthographic_Voxel_Carving"
+STAGE1_IOU_MIN = 0.95
+STAGE3_WHOLE_IOU_MIN = 0.80
+
+
+def _stage1_iou_vs_golden(monument: str, grid, max_dim: int):
+    """Occupancy IoU vs the golden grid, stride-downsampled to ``max_dim``."""
+    from pbr3d.io.artifacts import load_voxel_grid_labels, voxel_grid_iou
+
+    path = os.path.join(GOLDEN_DIR, f"{monument}_voxel_grid.npz")
+    if not os.path.exists(path):
+        return None
+    gold = load_voxel_grid_labels(path)
+    factor = max(gold.shape) // max(grid.shape)
+    if factor > 1:
+        gold = gold[::factor, ::factor, ::factor]
+    if gold.shape != grid.shape:
+        print(f"[bench] {monument}: golden shape {gold.shape} incomparable "
+              f"to {grid.shape}, skipping stage-1 gate", file=sys.stderr)
+        return None
+    return voxel_grid_iou(grid, gold)
+
+
+def _stage3_whole_iou(monument: str, result) -> float:
+    """Notebook-4 'whole' cell: visibility-aware silhouette IoU of the
+    deformed grid under the final front camera."""
+    from pbr3d.carving.voxel import all_points
+    from pbr3d.eval.intra import (
+        _iou_bool, _load_mask_labels_for_grid, _visible, _zbuf,
+        compute_binary_gt,
+    )
+
+    grid3 = result.grid_stage3
+    cam = result.cameras["final"].get("front") or next(
+        iter(result.cameras["final"].values())
+    )
+    mask = _load_mask_labels_for_grid(
+        "/root/reference/data", monument, "front", result.grid_stage1.shape
+    )
+    H, W = mask.shape[:2]
+    zb = _zbuf(grid3, cam, H, W)
+    pts, _ = all_points(grid3)
+    pr = _visible(pts, cam, zb)
+    gt = compute_binary_gt(mask, result.grid_stage1)
+    return _iou_bool(gt, pr)
 
 
 def main():
     max_dim = int(os.environ.get("PBR3D_BENCH_MAX_DIM", "256"))
-    passes = int(os.environ.get("PBR3D_BENCH_PASSES", "2"))
+    passes = int(os.environ.get("PBR3D_BENCH_PASSES", "3"))
     kw = dict(
         max_dim=max_dim,
-        # fewer, bigger generations: same sample count, ~3x fewer device
-        # round trips (the tunnel's dispatch latency dominates the search)
         stage2_kw=dict(generations=12, population=192, seed=0),
         stage3_kw=dict(search_stride=8),
     )
     # Pass 1 builds every executable (this backend recompiles per process:
     # its persistent cache does not transfer).  The reported value is the
-    # steady-state pass — the serving-relevant number; the cold time is on
-    # stderr.
-    dt = None
+    # median of the steady-state passes — the serving-relevant number; the
+    # cold time is on stderr.
+    times = []
     for p in range(passes):
         t0 = time.perf_counter()
         results = run_all(config.MONUMENTS, **kw)
-        dt = time.perf_counter() - t0
-        print(f"[bench] pass {p + 1}/{passes}: {dt:.1f}s", file=sys.stderr)
+        times.append(time.perf_counter() - t0)
+        print(f"[bench] pass {p + 1}/{passes}: {times[-1]:.1f}s", file=sys.stderr)
+    steady = times[1:] if len(times) > 1 else times
+    value = statistics.median(steady)
 
     per_stage = {
         m: {k: round(v, 3) for k, v in r.timings.items()} for m, r in results.items()
     }
     print(f"[bench] per-monument stage timings: {per_stage}", file=sys.stderr)
+
+    # ---- quality gates ----
+    s1_ious, s3_ious = {}, {}
+    for m, r in results.items():
+        iou1 = _stage1_iou_vs_golden(m, r.grid_stage1, max_dim)
+        if iou1 is not None:
+            s1_ious[m] = round(float(iou1), 4)
+        s3_ious[m] = round(float(_stage3_whole_iou(m, r)), 4)
     quality = {
         m: {
-            "stage3_mean_iou": round(
+            "stage1_iou_vs_golden": s1_ious.get(m),
+            "stage3_whole_iou": s3_ious[m],
+            "stage3_mean_part_iou": round(
                 float(
                     sum(d["iou"] for d in r.deform_params.values())
                     / max(len(r.deform_params), 1)
@@ -73,10 +147,16 @@ def main():
         for m, r in results.items()
     }
     print(f"[bench] quality: {quality}", file=sys.stderr)
-    if len(results) < len(config.MONUMENTS):
+
+    quality_ok = (
+        len(results) == len(config.MONUMENTS)
+        and all(v >= STAGE1_IOU_MIN for v in s1_ious.values())
+        and all(v >= STAGE3_WHOLE_IOU_MIN for v in s3_ious.values())
+    )
+    if not quality_ok:
         print(
-            f"[bench] WARNING: only {len(results)}/{len(config.MONUMENTS)} "
-            "monuments completed",
+            f"[bench] QUALITY GATE FAILED: {len(results)}/{len(config.MONUMENTS)} "
+            f"monuments, stage1 {s1_ious}, stage3_whole {s3_ious}",
             file=sys.stderr,
         )
 
@@ -84,9 +164,12 @@ def main():
         json.dumps(
             {
                 "metric": f"full_3stage_pipeline_5monuments_maxdim{max_dim}",
-                "value": round(dt, 3),
+                "value": round(value, 3),
                 "unit": "s",
-                "vs_baseline": round(BASELINE_S / dt, 3),
+                "vs_baseline": round(BASELINE_S / value, 3),
+                "stage1_iou_min": min(s1_ious.values()) if s1_ious else None,
+                "stage3_whole_iou_min": min(s3_ious.values()) if s3_ious else None,
+                "quality_ok": quality_ok,
             }
         )
     )

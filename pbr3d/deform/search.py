@@ -154,9 +154,13 @@ def _auto_chunk(n_points: int, chunk_cap: int) -> int:
 
 
 def _eval_chunked(deforms: np.ndarray, chunk_cap: int, **kw) -> np.ndarray:
+    """Evaluate P candidates in fixed-size chunks.  Small batches (P=1..2
+    re-checks) are PADDED UP to the same chunk shape the search batches use:
+    one executable per point bucket instead of one per batch size (remote
+    compiles cost ~a minute each on this backend)."""
     outs = []
     P = deforms.shape[0]
-    chunk = _auto_chunk(kw["coords"].shape[0], min(chunk_cap, P))
+    chunk = _auto_chunk(kw["coords"].shape[0], chunk_cap)
     pad = (-P) % chunk
     d = np.concatenate([deforms, np.tile(IDENTITY_DEFORM, (pad, 1))]) if pad else deforms
     for i in range(0, len(d), chunk):
@@ -364,15 +368,19 @@ def refine_parts(
             return np.full((Hp, Wp), np.inf, np.float32)
         return np.asarray(functools.reduce(jnp.minimum, others))
 
-    def visible_iou(p: str, deform: np.ndarray, rest: np.ndarray) -> float:
+    chunk_cap = kw.get("chunk", 64)
+
+    def visible_ious(p: str, deforms: np.ndarray, rest: np.ndarray) -> np.ndarray:
         pp, vv, _ = padded_sets[p]
-        return float(
-            _batch_deform_visible_iou(
-                jnp.asarray(deform[None]), pp, vv, cam_vec,
-                jnp.asarray(_gt_plane(p)), jnp.asarray(rest),
-                true_hw, vs, Hp, Wp,
-            )[0]
+        return _eval_chunked(
+            np.asarray(deforms, np.float32), chunk_cap,
+            coords=pp, valid=vv, cam_vec=cam_vec,
+            gt_part=jnp.asarray(_gt_plane(p)), rest_zbuf=jnp.asarray(rest),
+            true_hw=true_hw, voxel_shape=vs, H=Hp, W=Wp,
         )
+
+    def visible_iou(p: str, deform: np.ndarray, rest: np.ndarray) -> float:
+        return float(visible_ious(p, deform[None], rest)[0])
 
     @functools.lru_cache(maxsize=None)
     def _gt_plane(p: str):
@@ -400,10 +408,10 @@ def refine_parts(
             for p in searched:
                 if np.array_equal(state[p], IDENTITY_DEFORM):
                     continue
-                rest = rest_zb(p)
-                if visible_iou(p, state[p], rest) + 1e-6 < visible_iou(
-                    p, IDENTITY_DEFORM, rest
-                ):
+                cur, ident = visible_ious(
+                    p, np.stack([state[p], IDENTITY_DEFORM]), rest_zb(p)
+                )
+                if cur + 1e-6 < ident:
                     regressed.append(p)
             if not regressed:
                 break

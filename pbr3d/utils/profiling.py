@@ -11,18 +11,35 @@ from typing import Dict, Optional
 import jax
 
 
-class StageTimer:
-    """Accumulates wall times per named stage (device-synchronized)."""
+def device_sync() -> None:
+    """Block until all previously dispatched device work has completed.
 
-    def __init__(self):
+    TPU cores execute enqueued programs in order, so dispatching a trivial
+    op and blocking on it fences everything enqueued before it.
+    """
+    import jax.numpy as jnp
+
+    jax.block_until_ready(jnp.zeros(()))
+
+
+class StageTimer:
+    """Accumulates wall times per named stage, fencing the device at both
+    edges of each stage so async dispatch can't leak work across stages."""
+
+    def __init__(self, sync: bool = True):
         self.times: Dict[str, float] = {}
+        self._sync = sync
 
     @contextlib.contextmanager
     def stage(self, name: str):
+        if self._sync:
+            device_sync()
         t0 = time.perf_counter()
         try:
             yield
         finally:
+            if self._sync:
+                device_sync()
             self.times[name] = self.times.get(name, 0.0) + time.perf_counter() - t0
 
     def report(self) -> str:
