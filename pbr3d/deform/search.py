@@ -286,12 +286,35 @@ def optimize_part_deform(
     best = fine[int(np.argmax(ious))]
 
     # full-set comparison: accept the searched deform only if it beats
-    # identity on the full point set too (strided search can overfit)
-    pair = np.stack([IDENTITY_DEFORM, best])
-    iou_id, iou_best = ev(pair, p_f, v_f)
+    # identity on the full point set too (strided search can overfit).
+    # Full-set IoUs come from single-deform z-buffers + image math rather
+    # than the 64-wide candidate program (64x less point work).
+    zb_best = deformed_zbuffer(
+        jnp.asarray(best), jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
+        true_hw, vs, Hp, Wp,
+    )
+    zb_id = deformed_zbuffer(
+        jnp.asarray(IDENTITY_DEFORM), jnp.asarray(p_f), jnp.asarray(v_f),
+        cam_vec, true_hw, vs, Hp, Wp,
+    )
+    iou_best = _visible_iou_from_zb(np.asarray(zb_best), rest, gt_p)
+    iou_id = _visible_iou_from_zb(np.asarray(zb_id), rest, gt_p)
     if iou_best <= iou_id:
         return IDENTITY_DEFORM.copy(), float(iou_id)
     return np.asarray(best, np.float32), float(iou_best)
+
+
+def _visible_iou_from_zb(
+    zb_part: np.ndarray, rest_zbuf: np.ndarray, gt_part: np.ndarray
+) -> float:
+    """The notebook-4 visible IoU given the part's min-Z image — identical to
+    ``_batch_deform_visible_iou`` but pure (H, W) image math (the z-buffers
+    are already maintained per part, so no point re-evaluation is needed)."""
+    visible = zb_part < rest_zbuf + VIS_EPS
+    union = np.logical_or(visible, gt_part).sum()
+    if union == 0:
+        return 0.0
+    return float(np.logical_and(visible, gt_part).sum() / union)
 
 
 def _deform_vec(d: Dict) -> np.ndarray:
@@ -349,38 +372,28 @@ def refine_parts(
         )
         padded_sets[p] = (jnp.asarray(pp), jnp.asarray(vv), len(pts))
 
-    def zb_at(p: str, deform: np.ndarray) -> jnp.ndarray:
+    def zb_at(p: str, deform: np.ndarray) -> np.ndarray:
         pp, vv, _ = padded_sets[p]
-        return deformed_zbuffer(
+        return np.asarray(deformed_zbuffer(
             jnp.asarray(deform), pp, vv, cam_vec, true_hw, vs, Hp, Wp
-        )
+        ))
 
     state: Dict[str, np.ndarray] = {p: IDENTITY_DEFORM.copy() for p in parts}
-    zbs: Dict[str, jnp.ndarray] = {}
+    zbs: Dict[str, np.ndarray] = {}
+    zb_identity: Dict[str, np.ndarray] = {}
     for p in parts:
+        zb_identity[p] = zb_at(p, IDENTITY_DEFORM)
         if p in overrides:
             state[p] = _deform_vec(overrides[p])
-        zbs[p] = zb_at(p, state[p])
+            zbs[p] = zb_at(p, state[p])
+        else:
+            zbs[p] = zb_identity[p]
 
     def rest_zb(p: str) -> np.ndarray:
         others = [zbs[q] for q in parts if q != p]
         if not others:
             return np.full((Hp, Wp), np.inf, np.float32)
-        return np.asarray(functools.reduce(jnp.minimum, others))
-
-    chunk_cap = kw.get("chunk", 64)
-
-    def visible_ious(p: str, deforms: np.ndarray, rest: np.ndarray) -> np.ndarray:
-        pp, vv, _ = padded_sets[p]
-        return _eval_chunked(
-            np.asarray(deforms, np.float32), chunk_cap,
-            coords=pp, valid=vv, cam_vec=cam_vec,
-            gt_part=jnp.asarray(_gt_plane(p)), rest_zbuf=jnp.asarray(rest),
-            true_hw=true_hw, voxel_shape=vs, H=Hp, W=Wp,
-        )
-
-    def visible_iou(p: str, deform: np.ndarray, rest: np.ndarray) -> float:
-        return float(visible_ious(p, deform[None], rest)[0])
+        return np.minimum.reduce(others)
 
     @functools.lru_cache(maxsize=None)
     def _gt_plane(p: str):
@@ -403,25 +416,28 @@ def refine_parts(
             zbs[p] = zb_at(p, deform)
 
     if verify:
+        # pure image math over the maintained per-part z-buffers: revert any
+        # deform that regresses vs identity under the FINAL occlusion state
         for _ in range(3):
             regressed = []
             for p in searched:
                 if np.array_equal(state[p], IDENTITY_DEFORM):
                     continue
-                cur, ident = visible_ious(
-                    p, np.stack([state[p], IDENTITY_DEFORM]), rest_zb(p)
-                )
+                rest = rest_zb(p)
+                gt = _gt_plane(p)
+                cur = _visible_iou_from_zb(zbs[p], rest, gt)
+                ident = _visible_iou_from_zb(zb_identity[p], rest, gt)
                 if cur + 1e-6 < ident:
                     regressed.append(p)
             if not regressed:
                 break
             for p in regressed:
                 state[p] = IDENTITY_DEFORM.copy()
-                zbs[p] = zb_at(p, state[p])
+                zbs[p] = zb_identity[p]
 
     out = {}
     for p in parts:
-        iou = visible_iou(p, state[p], rest_zb(p))
+        iou = _visible_iou_from_zb(zbs[p], rest_zb(p), _gt_plane(p))
         out[p] = {
             "deform": {
                 "scale_y": float(state[p][0]),
