@@ -47,8 +47,7 @@ def _sweep_padded(occ_p: Array, m2: Array, plans) -> Array:
     return jnp.transpose(out.reshape(Hb, Wb, Db), (1, 0, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("group_ids",))
-def _global_and_part_carve(
+def _global_and_part_carve_impl(
     binary_wh_p: Array,  # (Wb, Hb) uint8/bool, zero-padded
     ext_wh_p: Array,  # (Wb, Hb) uint8 labels, zero-padded
     true_whd: Array,  # (3,) int32: the true (w, h, d) grid extent
@@ -92,6 +91,30 @@ def _global_and_part_carve(
         part = sub * carved.astype(jnp.uint8)
         final = jnp.where(part > 0, part, final)
     return final
+
+
+_global_and_part_carve = functools.partial(jax.jit, static_argnames=("group_ids",))(
+    _global_and_part_carve_impl
+)
+
+
+@functools.partial(jax.jit, static_argnames=("group_ids",))
+def _global_and_part_carve_batched(
+    binary_b: Array,  # (B, Wb, Hb)
+    ext_b: Array,  # (B, Wb, Hb)
+    true_whd_b: Array,  # (B, 3) int32
+    plan_idx_b: Array,  # (B, A, 4, Wb*Db) — per-scene plans (extents differ)
+    plan_dec_b: Array,  # (B, A, Wb*Db)
+    group_ids: Tuple[Tuple[int, ...], ...],
+) -> Array:
+    """All scenes' global+group carves in ONE program (SURVEY §7 M6): the
+    scenes are padded to a common bucket and vmapped, so the whole 5-monument
+    carve costs one dispatch and one compile."""
+    return jax.vmap(
+        lambda b, e, t, pi, pd: _global_and_part_carve_impl(
+            b, e, t, pi, pd, group_ids
+        )
+    )(binary_b, ext_b, true_whd_b, plan_idx_b, plan_dec_b)
 
 
 def _guided_window_step(
@@ -242,8 +265,7 @@ def guided_carve_fused(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("jobs",))
-def _extrude_all(
+def _extrude_all_impl(
     grid_p: Array,  # (Wp, Hp, Dp) padded labels
     sem_wh_p: Array,  # (Wp, Hp) full-semantic labels (transposed + padded)
     true_whd: Array,  # (3,) int32
@@ -297,6 +319,23 @@ def _extrude_all(
                 filled = filled | ((coord == pos) & ok)
             grid_p = jnp.where(filled, jnp.uint8(pid), grid_p)
     return grid_p
+
+
+_extrude_all = functools.partial(jax.jit, static_argnames=("jobs",))(
+    _extrude_all_impl
+)
+
+
+@functools.partial(jax.jit, static_argnames=("jobs",))
+def _extrude_all_batched(
+    grid_b: Array,  # (B, Wp, Hp, Dp)
+    sem_b: Array,  # (B, Wp, Hp)
+    true_whd_b: Array,  # (B, 3)
+    jobs: Tuple[Tuple[int, int], ...],
+) -> Array:
+    return jax.vmap(
+        lambda g, s, t: _extrude_all_impl(g, s, t, jobs)
+    )(grid_b, sem_b, true_whd_b)
 
 
 def reorient_recolor_host(
@@ -376,3 +415,97 @@ def carve_monument_fused(
     if preset.recolor_back_minarets:
         return reorient_recolor_host(grid_true)
     return grid_true
+
+
+def carve_monuments_batched(
+    mask_sets: dict,
+    preset: config.CarvePreset = config.DEFAULT_CARVE_PRESET,
+    bucket: int = 64,
+    guided_margin: int = 128,
+    mem_budget_bytes: int = 6 << 30,
+) -> dict:
+    """Stage 1 for MANY monuments with the big sweeps batched (SURVEY §7 M6).
+
+    All scenes are padded to one common bucket; the global+group carve and
+    the interior extrusion each run as ONE vmapped program over the scene
+    batch (one dispatch, one compile, instead of one per monument — and on
+    this backend one compile WAVE per process).  The component-guided carve
+    stays per-monument (host connected-components labeling, see
+    guided_carve_all), but its window programs are shared across scenes.
+
+    Outputs are bit-identical to :func:`carve_monument_fused` per monument
+    (padding-independence of the embedded rotation plans).  Falls back to the
+    serial path when the padded batch would exceed ``mem_budget_bytes`` of
+    sweep working set (e.g. 512-scale grids).
+
+    ``mask_sets``: {monument: MaskSet}.  Returns {monument: label grid}.
+    """
+    names = list(mask_sets)
+    if not names:
+        return {}
+    whd = {m: (mask_sets[m].binary.shape[1], mask_sets[m].binary.shape[0],
+               mask_sets[m].binary.shape[1]) for m in names}
+    Wb = _round_up(max(w for w, _, _ in whd.values()) + guided_margin, bucket)
+    Hb = _round_up(max(h for _, h, _ in whd.values()) + guided_margin, bucket)
+    Db = Wb
+    B = len(names)
+    # sweep working set: ~6 int32 buffers of (B, Hb, Wb*Db)
+    est = 6 * 4 * B * Wb * Hb * Db
+    if est > mem_budget_bytes:
+        return {m: carve_monument_fused(mask_sets[m], preset) for m in names}
+
+    angles = {angle for _, angle in preset.group_jobs}
+    if angles != {preset.global_angle_interval}:
+        raise NotImplementedError(
+            "fused stage 1 assumes group angles == global angle; "
+            "use pbr3d.carving.stage1.carve_monument for exotic presets"
+        )
+    group_ids = tuple(
+        tuple(int(i) for i in config.part_ids(ns)) for ns, _ in preset.group_jobs
+    )
+
+    def pad_wh(m):
+        h, w = m.shape
+        out = np.zeros((Wb, Hb), m.dtype)
+        out[:w, :h] = m.T
+        return out
+
+    binary_b = np.stack([pad_wh(mask_sets[m].binary) for m in names])
+    ext_b = np.stack([pad_wh(mask_sets[m].exterior_labels) for m in names])
+    sem_b = np.stack([pad_wh(mask_sets[m].semantic_labels) for m in names])
+    true_b = np.array([whd[m] for m in names], np.int32)
+    plans = [
+        _stacked_plans_padded(w, d, Wb, Db, preset.global_angle_interval)
+        for w, _, d in (whd[m] for m in names)
+    ]
+    idx_b = np.stack([p[0] for p in plans])
+    dec_b = np.stack([p[1] for p in plans])
+
+    grid_b = _global_and_part_carve_batched(
+        jnp.asarray(binary_b), jnp.asarray(ext_b), jnp.asarray(true_b),
+        jnp.asarray(idx_b), jnp.asarray(dec_b), group_ids,
+    )
+
+    grids = {}
+    for i, m in enumerate(names):
+        grids[m] = guided_carve_all(
+            grid_b[i], mask_sets[m].exterior_labels, preset.part_symmetry
+        )
+
+    jobs = tuple((PART_IDS[p], int(depth)) for p, depth in preset.extrusion_depths)
+    if jobs:
+        stacked = jnp.stack([grids[m] for m in names])
+        stacked = _extrude_all_batched(
+            stacked, jnp.asarray(sem_b), jnp.asarray(true_b), jobs
+        )
+        grids = {m: stacked[i] for i, m in enumerate(names)}
+
+    out = {}
+    for m in names:
+        w, h, d = whd[m]
+        grid_true = np.asarray(grids[m][:w, :h, :d])
+        out[m] = (
+            reorient_recolor_host(grid_true)
+            if preset.recolor_back_minarets else grid_true
+        )
+    return out

@@ -193,14 +193,33 @@ def run_pipeline(
     *,
     stage2_kw: Optional[Dict] = None,
     stage3_kw: Optional[Dict] = None,
+    grid_stage1: Optional[np.ndarray] = None,
+    stage1_time: Optional[float] = None,
 ) -> PipelineResult:
-    """Full 3-stage reconstruction of one monument."""
+    """Full 3-stage reconstruction of one monument.
+
+    ``grid_stage1`` injects a precomputed stage-1 grid (the batched
+    multi-monument carve path of :func:`run_all`); ``stage1_time`` is its
+    attributed share of the batch wall time."""
     import sys
 
     timings = {}
     t = time.perf_counter()
-    grid1 = run_stage1(monument, data_root, max_dim, out_dir=out_dir)
-    timings["stage1"] = time.perf_counter() - t
+    if grid_stage1 is not None:
+        grid1 = grid_stage1
+        if out_dir is not None:
+            save_voxel_grid(
+                Path(out_dir) / "1.Orthographic_Voxel_Carving"
+                / f"{monument}_voxel_grid.npz",
+                grid1,
+            )
+        timings["stage1"] = (
+            stage1_time if stage1_time is not None
+            else time.perf_counter() - t
+        )
+    else:
+        grid1 = run_stage1(monument, data_root, max_dim, out_dir=out_dir)
+        timings["stage1"] = time.perf_counter() - t
     print(f"[{monument}] stage1 {timings['stage1']:.1f}s grid={grid1.shape}",
           file=sys.stderr, flush=True)
 
@@ -230,20 +249,58 @@ def run_pipeline(
 def run_all(
     monuments: Sequence[str] = tuple(config.MONUMENTS),
     strict: bool = False,
+    batch_stage1: bool = True,
     **kw,
 ) -> Dict[str, PipelineResult]:
     """Run the full pipeline for every monument.
 
-    With ``strict=False`` a failing monument is reported and skipped (the
-    reference notebooks likewise skip views that fail extraction).
+    With ``batch_stage1`` (default) all monuments' stage-1 carves run as ONE
+    vmapped device program over a common padded bucket
+    (:func:`pbr3d.carving.fused.carve_monuments_batched`; falls back to the
+    serial path per its memory budget).  With ``strict=False`` a failing
+    monument is reported and skipped (the reference notebooks likewise skip
+    views that fail extraction).
     """
     import sys
     import traceback
 
+    grids: Dict[str, np.ndarray] = {}
+    t_share: Optional[float] = None
+    if batch_stage1 and len(monuments) > 1:
+        from pbr3d.carving.fused import carve_monuments_batched
+        from pbr3d.io.masks import prepare_masks
+
+        data_root = kw.get("data_root", "/root/reference/data")
+        max_dim = kw.get("max_dim")
+        try:
+            t0 = time.perf_counter()
+            sets = {
+                m: prepare_masks(
+                    data_root, m, "front",
+                    max_dim or config.GOLDEN_MAX_DIM.get(m, config.MAX_DIM),
+                )
+                for m in monuments
+            }
+            grids = carve_monuments_batched(sets)
+            t_share = (time.perf_counter() - t0) / max(len(monuments), 1)
+            print(
+                f"[run_all] batched stage1 x{len(grids)}: "
+                f"{t_share * len(grids):.1f}s", file=sys.stderr, flush=True,
+            )
+        except Exception:
+            if strict:
+                raise
+            grids = {}
+            print("[run_all] batched stage1 FAILED, falling back to serial:",
+                  file=sys.stderr)
+            traceback.print_exc()
+
     out: Dict[str, PipelineResult] = {}
     for m in monuments:
         try:
-            out[m] = run_pipeline(m, **kw)
+            out[m] = run_pipeline(
+                m, grid_stage1=grids.get(m), stage1_time=t_share, **kw
+            )
         except Exception:
             if strict:
                 raise

@@ -67,3 +67,32 @@ def test_shard_placement():
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("scene", "y", None)),
         x.ndim,
     )
+
+
+@pytest.mark.slow
+def test_carve_monuments_batched_bit_exact(data_root):
+    """The one-dispatch batched stage 1 must equal the serial fused path
+    voxel-for-voxel for every monument in the batch."""
+    from pbr3d.carving.fused import carve_monument_fused, carve_monuments_batched
+    from pbr3d.io.masks import prepare_masks
+
+    names = ["Akbar", "Taj", "Bibi"]
+    sets = {m: prepare_masks(data_root, m, "front", 96) for m in names}
+    batched = carve_monuments_batched(sets)
+    assert set(batched) == set(names)
+    for m in names:
+        single = carve_monument_fused(sets[m])
+        np.testing.assert_array_equal(batched[m], single)
+
+
+def test_carve_monuments_batched_memory_fallback(data_root):
+    """Above the memory budget the batched API transparently degrades to the
+    serial fused path (e.g. 512-scale grids on a 16 GB chip)."""
+    from pbr3d.carving.fused import carve_monument_fused, carve_monuments_batched
+    from pbr3d.io.masks import prepare_masks
+
+    sets = {"Akbar": prepare_masks(data_root, "Akbar", "front", 64)}
+    batched = carve_monuments_batched(sets, mem_budget_bytes=1)
+    np.testing.assert_array_equal(
+        batched["Akbar"], carve_monument_fused(sets["Akbar"])
+    )
