@@ -61,6 +61,23 @@ def binary_closing(mask: jax.Array, iterations: int = 1) -> jax.Array:
     return binary_erosion(binary_dilation(mask, iterations), iterations)
 
 
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def binary_closing_square(mask: jax.Array, ksize: int) -> jax.Array:
+    """EXACT ``cv2.morphologyEx(m, MORPH_CLOSE, np.ones((k, k)))`` semantics.
+
+    cv2 closes with a dense k x k kernel: dilation (border treated as 0,
+    BORDER_CONSTANT with the morphological default value) then erosion
+    (border treated as 1).  Both are separable max/min window filters, which
+    map directly onto ``lax.reduce_window`` with SAME padding — the pad value
+    IS the init value, reproducing cv2's border rule.
+    """
+    m = jnp.asarray(mask, bool)
+    win = (int(ksize),) * m.ndim
+    strides = (1,) * m.ndim
+    dil = jax.lax.reduce_window(m, False, jax.lax.bitwise_or, win, strides, "SAME")
+    return jax.lax.reduce_window(dil, True, jax.lax.bitwise_and, win, strides, "SAME")
+
+
 def remove_small_regions(mask: np.ndarray, min_area: int, connectivity: str = "full"):
     """Drop connected regions smaller than ``min_area`` pixels."""
     from pbr3d.ops.components import connected_components, component_stats

@@ -23,22 +23,18 @@ import numpy as np
 import jax.numpy as jnp
 
 from pbr3d import config
-from pbr3d.ops.morphology import binary_closing, remove_small_regions
+from pbr3d.ops.morphology import binary_closing_square, remove_small_regions
 
 
 def close_holes(mask: np.ndarray, ksize: int = 5) -> np.ndarray:
-    """Morphological close with an odd square kernel of size >= 3.
-
-    cv2.MORPH_CLOSE with a k x k ones kernel == dilation then erosion with
-    that kernel; a square kernel equals (k-1)//2 iterations of the unit
-    square... approximated here by the cross-element closing with
-    (k-1)//2 iterations (difference only at sharp corners).
-    """
+    """Morphological close with an odd square kernel of size >= 3 — exact
+    ``cv2.morphologyEx(..., MORPH_CLOSE, np.ones((k, k)))`` semantics
+    (reference: interactive_part_segmentation.py:375-378), including cv2's
+    border rule (dilation pads 0, erosion pads 1)."""
     k = max(3, int(ksize))
     if k % 2 == 0:
         k += 1
-    iters = (k - 1) // 2
-    return np.asarray(binary_closing(jnp.asarray(mask, bool), iters))
+    return np.asarray(binary_closing_square(jnp.asarray(mask, bool), k))
 
 
 def remove_small_regions_2d(mask: np.ndarray, min_area: int) -> np.ndarray:

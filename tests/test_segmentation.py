@@ -104,3 +104,16 @@ def test_image_state_undo(tmp_path):
     assert st.pop_undo()
     assert st.curr_np.shape == (6, 6, 3)
     assert not ImageState().pop_undo()
+
+
+@pytest.mark.parametrize("ksize", [3, 5, 7])
+def test_close_holes_matches_cv2(rng, ksize):
+    """close_holes must equal cv2.morphologyEx MORPH_CLOSE with the dense
+    square kernel bit-for-bit, including the border rule
+    (reference: interactive_part_segmentation.py:375-378)."""
+    import cv2
+
+    m = (rng.random((41, 37)) > 0.6).astype(np.uint8)
+    ref = cv2.morphologyEx(m, cv2.MORPH_CLOSE, np.ones((ksize, ksize), np.uint8))
+    ours = close_holes(m.astype(bool), ksize)
+    np.testing.assert_array_equal(ours.astype(np.uint8), ref)
