@@ -108,19 +108,20 @@ def meshify_colored_voxel_grid(grid_labels: np.ndarray, stride: int = 1):
     compensated by ``z -> D - z``, vertex colors from the nearest occupied
     voxel, normalized to [0, 1].
 
-    Iso-surfacing uses marching tetrahedra (pbr3d.ops.isosurface) and colors
-    use the tiled NN kernel instead of sklearn.  Returns
+    Iso-surfacing uses classic marching cubes (pbr3d.ops.isosurface —
+    cube-edge vertex topology matching skimage's) and colors use the tiled
+    NN kernel instead of sklearn.  Returns
     (verts (N,3) f32, faces (M,3) i32, vertex_colors (N,3) f64 in [0,1],
     normals (M,3) f32 per-face).
     """
     from pbr3d.config import labels_to_rgb
-    from pbr3d.ops.isosurface import marching_tetrahedra
+    from pbr3d.ops.isosurface import marching_cubes
     from pbr3d.ops.neighbors import knn
 
     grid_labels = np.asarray(grid_labels)
     g = grid_labels[::stride, ::stride, ::stride] if stride > 1 else grid_labels
     occ = g > 0
-    verts, faces = marching_tetrahedra(occ.astype(np.float32), 0.5)
+    verts, faces = marching_cubes(occ.astype(np.float32), 0.5)
     verts = verts * stride
 
     # (d0, d1, d2) -> (x, y, z), then undo the stage-1 reorientation mirror.

@@ -184,13 +184,15 @@ def get_marching_cubes_mesh(
 ):
     """Point cloud -> density grid -> iso-surface (reference :191-195).
 
-    Uses marching tetrahedra (pbr3d.ops.isosurface) — same iso-geometry
-    contract as skimage's marching cubes with a finer tessellation.
+    Uses classic marching cubes (pbr3d.ops.isosurface.marching_cubes):
+    cube-edge vertex topology matching ``skimage.measure.marching_cubes``,
+    so the notebook-5 surface statistics (normal spread, roughness,
+    curvature) are computed over comparable tessellations.
     """
-    from pbr3d.ops.isosurface import marching_tetrahedra
+    from pbr3d.ops.isosurface import marching_cubes
 
     grid = pointcloud_to_voxel_grid(points, grid_size, sigma)
-    verts, faces = marching_tetrahedra(grid, level)
+    verts, faces = marching_cubes(grid, level)
     return verts / grid_size, faces
 
 
