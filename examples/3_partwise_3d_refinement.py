@@ -22,6 +22,14 @@ def main():
     ap.add_argument("--cams", default="results_temp")
     ap.add_argument("--out", default="results_temp")
     ap.add_argument("--search-stride", type=int, default=8)
+    ap.add_argument(
+        "--overrides",
+        default=None,
+        help="JSON file of {part: {scale_y, shift_y, scale_xz, shift_xz}} "
+        "deforms taken verbatim (skips the search for those parts) — the "
+        "escape hatch replacing the reference's human slider session; a "
+        "previously saved stage-3 params JSON also works.",
+    )
     args = ap.parse_args()
 
     grid = load_voxel_grid_labels(
@@ -34,7 +42,7 @@ def main():
     )
     deforms, deformed = run_stage3(
         args.monument, grid, cam, args.data_root, args.out,
-        search_stride=args.search_stride,
+        search_stride=args.search_stride, overrides=args.overrides,
     )
     for part, d in deforms.items():
         print(f"{part:>16}: IoU {d['iou']:.4f}  {d['deform']}")

@@ -42,7 +42,7 @@ def _sweep_padded(occ_p: Array, m2: Array, plans) -> Array:
     """Run the scan sweep on an already-padded (Wb, Hb, Db) occupancy with a
     (Hb, Wb*Db) column mask; plans are (idx, dec) device arrays."""
     Wb, Hb, Db = occ_p.shape
-    g2 = jnp.transpose(occ_p, (1, 0, 2)).reshape(Hb, Wb * Db).astype(jnp.int32)
+    g2 = jnp.transpose(occ_p, (1, 0, 2)).reshape(Hb, Wb * Db).astype(jnp.uint8)
     out = _sweep_scan(g2, m2, plans[0], plans[1])
     return jnp.transpose(out.reshape(Hb, Wb, Db), (1, 0, 2))
 
@@ -72,13 +72,13 @@ def _global_and_part_carve_impl(
 
     def col_mask(m_wh):
         return jnp.broadcast_to(
-            (m_wh > 0).astype(jnp.int32).T[:, :, None], (Hb, Wb, Db)
+            (m_wh > 0).astype(jnp.uint8).T[:, :, None], (Hb, Wb, Db)
         ).reshape(Hb, Wb * Db)
 
     plans = (plan_idx, plan_dec)
 
     # --- global carve: ones in the true extent, sweep, paint labels ---
-    occ0 = in_true.astype(jnp.int32)
+    occ0 = in_true.astype(jnp.uint8)
     carved = _sweep_padded(occ0, col_mask(binary_wh_p), plans)
     grid = carved.astype(jnp.uint8) * ext_wh_p.astype(jnp.uint8)[:, :, None]
 
@@ -87,7 +87,7 @@ def _global_and_part_carve_impl(
     for ids in group_ids:
         m_wh = jnp.isin(ext_wh_p, jnp.asarray(ids, jnp.uint8))
         sub = grid * m_wh.astype(jnp.uint8)[:, :, None]
-        carved = _sweep_padded((sub > 0).astype(jnp.int32), col_mask(m_wh), plans)
+        carved = _sweep_padded((sub > 0).astype(jnp.uint8), col_mask(m_wh), plans)
         part = sub * carved.astype(jnp.uint8)
         final = jnp.where(part > 0, part, final)
     return final
@@ -132,9 +132,9 @@ def _guided_window_step(
     iz = jax.lax.broadcasted_iota(jnp.int32, (Wb, Hb, Db), 2)
     in_true = (ix < true_whd[0]) & (iy < true_whd[1]) & (iz < true_whd[2])
 
-    occ = ((window > 0) & in_true).astype(jnp.int32)
+    occ = ((window > 0) & in_true).astype(jnp.uint8)
     m2 = jnp.broadcast_to(
-        (m_wh_p > 0).astype(jnp.int32).T[:, :, None], (Hb, Wb, Db)
+        (m_wh_p > 0).astype(jnp.uint8).T[:, :, None], (Hb, Wb, Db)
     ).reshape(Hb, Wb * Db)
     carved = _sweep_padded(occ, m2, (plan_idx, plan_dec))
     erase = (compw == comp_id) & (carved == 0) & in_true

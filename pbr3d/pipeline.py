@@ -178,10 +178,16 @@ def run_stage3(
     }
     deformed = build_deformed_grid(grid_labels, part_points, deform_vecs, mask.shape[:2])
     if out_dir is not None:
-        save_voxel_grid(
-            Path(out_dir) / "3.Part-wise_3D_Refinement" / f"{monument}_deformed_voxel_grid.npz",
-            deformed,
-        )
+        base = Path(out_dir) / "3.Part-wise_3D_Refinement"
+        save_voxel_grid(base / f"{monument}_deformed_voxel_grid.npz", deformed)
+        # persist the per-part params (the reference keeps them only in the
+        # viewer's saved_params dict); the file round-trips through the
+        # ``overrides`` escape hatch for human correction + replay.
+        import json
+
+        base.mkdir(parents=True, exist_ok=True)
+        with open(base / f"{monument}_deform_params.json", "w") as fh:
+            json.dump(deforms, fh, indent=2)
     return deforms, deformed
 
 
