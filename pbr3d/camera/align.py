@@ -31,7 +31,12 @@ import numpy as np
 
 from pbr3d import config
 from pbr3d.camera.geometry import params_to_vector, vector_to_params
-from pbr3d.carving.voxel import bucket_size, pad_points, points_by_parts
+from pbr3d.carving.voxel import (
+    bucket_size,
+    pad_points,
+    points_by_parts,
+    surface_points_by_parts,
+)
 from pbr3d.ops.projection import partwise_iou, splat_labels
 
 #: Reference step sizes (camera_estimation.py:605-616).
@@ -202,7 +207,10 @@ def refine_camera_mask_iou(
     (camera_estimation.py:536-541).
     """
     H, W = mask_labels.shape[:2]
-    pts, labels = points_by_parts(grid_labels, parts_for_alignment)
+    # Surface shell, not the solid: identical silhouettes (rays enter through
+    # the shell), and it keeps the per-candidate segment reductions small —
+    # the remote backend crashed on ~8M-point scatters at 512 scale.
+    pts, labels = surface_points_by_parts(grid_labels, parts_for_alignment)
     p, l, v = map(jnp.asarray, pad_points(pts, labels, bucket_size(len(pts))))
     gt_p, (Hp, Wp) = _pad_plane(mask_labels_selected(mask_labels, parts_for_alignment))
 

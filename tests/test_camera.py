@@ -121,3 +121,34 @@ def test_mask_iou_refinement_improves(akbar_grid, akbar_front_mask):
     )
     assert iou1 >= iou0
     assert final["H"] == akbar_front_mask.shape[0]
+
+
+def test_surface_shell_silhouette_equals_solid():
+    """The 6-connected shell must splat to the same silhouette as the full
+    solid (rays enter a solid through its surface)."""
+    import jax.numpy as jnp
+    from pbr3d.carving.voxel import (
+        bucket_size, pad_points, points_by_parts, surface_points_by_parts,
+    )
+    from pbr3d.ops.projection import splat_labels
+
+    grid = np.zeros((40, 40, 40), np.uint8)
+    pid = config.PART_IDS["front_minarets"]
+    grid[8:30, 5:35, 8:14] = pid
+    grid[20:26, 10:28, 22:30] = pid
+    full, lf = points_by_parts(grid, ["front_minarets"])
+    shell, ls = surface_points_by_parts(grid, ["front_minarets"])
+    assert len(shell) < len(full)
+    cam = dict(cam_pos=np.array([20.0, 20.0, -90.0]),
+               target=np.array([20.0, 20.0, 20.0]), f=120.0, cx=20.0, cy=20.0)
+    H = W = 40
+
+    def silhouette(pts, labels):
+        p, l, v = pad_points(pts, labels, bucket_size(len(pts)))
+        img = splat_labels(
+            jnp.asarray(p), jnp.asarray(l), jnp.asarray(v),
+            cam["cam_pos"], cam["target"], cam["f"], cam["cx"], cam["cy"], H, W,
+        )
+        return np.asarray(img) > 0
+
+    np.testing.assert_array_equal(silhouette(full, lf), silhouette(shell, ls))
