@@ -32,10 +32,34 @@ class PointCache:
         d0, d1, d2 = np.where(g > 0)
         self._pts = np.stack([d2, d1, d0], axis=1).astype(np.float32)
         self._labels = g[d0, d1, d2]
+        # Same-label interior: all 6 face neighbors carry the SAME label.
+        # ``~interior`` restricted to one part is exactly that part's own
+        # 6-connected shell (surface_points_by_parts of the part's solid) —
+        # computed once for every part in the same grid pass.
+        interior = np.ones(g.shape, bool)
+        for ax in range(3):
+            for sh in (1, -1):
+                same = np.zeros(g.shape, bool)
+                src = [slice(None)] * 3
+                dst = [slice(None)] * 3
+                if sh == 1:
+                    src[ax], dst[ax] = slice(1, None), slice(0, -1)
+                else:
+                    src[ax], dst[ax] = slice(0, -1), slice(1, None)
+                same[tuple(dst)] = g[tuple(src)] == g[tuple(dst)]
+                interior &= same
+        self._surface = ~interior[d0, d1, d2]
 
     def points_by_parts(self, part_names: Sequence[str]):
         ids = config.part_ids(part_names)
         keep = np.isin(self._labels, ids)
+        return self._pts[keep], self._labels[keep]
+
+    def surface_points_by_parts(self, part_names: Sequence[str]):
+        """Each selected part's OWN 6-connected shell (cheap filter; matches
+        ``surface_points_by_parts(grid, [part])`` per single part)."""
+        ids = config.part_ids(part_names)
+        keep = np.isin(self._labels, ids) & self._surface
         return self._pts[keep], self._labels[keep]
 
     def all_points(self):

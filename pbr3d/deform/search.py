@@ -33,7 +33,11 @@ import numpy as np
 
 from pbr3d import config
 from pbr3d.camera.geometry import params_to_vector
-from pbr3d.carving.voxel import bucket_size, pad_points, points_by_parts
+from pbr3d.carving.voxel import (
+    bucket_size,
+    points_by_parts,
+    surface_points_by_parts,
+)
 from pbr3d.deform.warp import deform_coords
 from pbr3d.ops.projection import partwise_iou, splat_labels, zbuffer
 
@@ -93,6 +97,7 @@ def _batch_deform_visible_iou(
     rest_zbuf: jax.Array,  # (H, W) f32 — min-Z of all OTHER parts (inf empty)
     true_hw: jax.Array,  # (2,) int32
     voxel_shape: jax.Array,  # (3,) int32 (D, H, W)
+    center: jax.Array,  # (3,) f32 — FULL part centroid (coords may be a shell)
     H: int,
     W: int,
 ) -> jax.Array:
@@ -106,7 +111,7 @@ def _batch_deform_visible_iou(
     """
 
     def one(d):
-        c, v = deform_coords(coords, valid, true_hw, voxel_shape, d)
+        c, v = deform_coords(coords, valid, true_hw, voxel_shape, d, center)
         zb = zbuffer(
             c.astype(jnp.float32), v,
             cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
@@ -128,11 +133,12 @@ def deformed_zbuffer(
     cam_vec: jax.Array,
     true_hw: jax.Array,
     voxel_shape: jax.Array,
+    center: jax.Array,  # (3,) f32 — FULL part centroid
     H: int,
     W: int,
 ) -> jax.Array:
     """(H, W) min-Z buffer of one part at one deform (inf where empty)."""
-    c, v = deform_coords(coords, valid, true_hw, voxel_shape, deform)
+    c, v = deform_coords(coords, valid, true_hw, voxel_shape, deform, center)
     return zbuffer(
         c.astype(jnp.float32), v,
         cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
@@ -174,6 +180,22 @@ def _pad_plane_hw(H: int, W: int) -> Tuple[int, int]:
     return (-(-H // 128) * 128, -(-W // 128) * 128)
 
 
+def pad_points_i16(pts: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Bucket-pad integer voxel coordinates as int16 (they fit: grids are
+    <=512 per axis).  Host->device transfer over the remote tunnel dominates
+    stage-3 at full resolution (a 5M-point solid pads to an 8M bucket =
+    100 MB as float32); int16 halves it.  ``deform_coords`` casts on device.
+    """
+    m = pts.shape[0]
+    if m > n:
+        raise ValueError(f"{m} points exceed pad size {n}")
+    out_p = np.zeros((n, 3), np.int16)
+    out_v = np.zeros((n,), bool)
+    out_p[:m] = pts
+    out_v[:m] = True
+    return out_p, out_v
+
+
 def optimize_part_deform(
     grid_labels: np.ndarray,
     part: str,
@@ -182,20 +204,31 @@ def optimize_part_deform(
     *,
     rest_zbuf: Optional[np.ndarray] = None,
     search_stride: int = 8,
+    surface_stride: int = 2,
     scale_range: Tuple[float, float, int] = (0.8, 1.2, 7),
     shift_range: Tuple[float, float, int] = (-60.0, 60.0, 9),
     refine_steps: int = 3,
     chunk: int = 64,
     mode: str = "separable",
     _points=None,
+    _surface_points=None,
+    _device_full=None,
 ) -> Tuple[np.ndarray, float]:
     """Best (scale_y, shift_y, scale_xz, shift_xz) for one part + its IoU.
 
     The objective is the notebook-4 visibility-aware binary IoU of the part
     (mask == part id vs z-visible deformed points).  ``rest_zbuf`` is the
     (H, W) min-Z buffer of every OTHER part (defaults to no occluders).
-    Search uses every ``search_stride``-th point (reference project_fast);
-    the returned IoU is re-evaluated on the full point set.
+
+    Candidates are evaluated on the part's 6-connected SURFACE shell strided
+    by ``surface_stride`` — the z-buffer of a solid is (to pixel-rounding)
+    the z-buffer of its shell, and the shell is ~an order of magnitude
+    smaller, so whole populations fit one dispatch.  The warp pivots on the
+    FULL set's centroid (passed explicitly), so a deform vector means the
+    same thing on the shell as on the solid.  Without a shell
+    (``_surface_points=None`` and no grid) the solid strided by
+    ``search_stride`` is used (reference project_fast).  The returned IoU
+    and the accept-vs-identity check always use the full point set.
 
     ``mode="separable"`` (default) searches the (scale_y, shift_y) pair
     first (xz identity), then (scale_xz, shift_xz) given the best y, then a
@@ -221,12 +254,19 @@ def optimize_part_deform(
         rest = np.full((Hp, Wp), np.inf, np.float32)
         rest[: rest_zbuf.shape[0], : rest_zbuf.shape[1]] = rest_zbuf
 
-    def padded(p):
-        return pad_points(p, np.full(len(p), pid, np.uint8), bucket_size(len(p)))
-
-    sub = pts[::search_stride]
-    p_s, _, v_s = padded(sub)
-    p_f, _, v_f = padded(pts)
+    shell = _surface_points
+    if shell is None:
+        shell = surface_points_by_parts(grid_labels, [part])[0]
+    if len(shell):
+        sub = shell[::surface_stride]
+    else:  # degenerate: every voxel interior-labeled (cannot happen for >0 pts)
+        sub = pts[::search_stride]
+    center = jnp.asarray(pts.mean(axis=0), jnp.float32)  # FULL-set centroid
+    p_s, v_s = pad_points_i16(sub, bucket_size(len(sub)))
+    if _device_full is not None:
+        p_f, v_f = _device_full  # device-resident: skip the big re-upload
+    else:
+        p_f, v_f = pad_points_i16(pts, bucket_size(len(pts)))
     gt = jnp.asarray(gt_p)
     rest_j = jnp.asarray(rest)
     cam_vec = jnp.asarray(params_to_vector(cam))
@@ -238,7 +278,7 @@ def optimize_part_deform(
             np.asarray(deforms, np.float32), chunk,
             coords=jnp.asarray(pp), valid=jnp.asarray(vv), cam_vec=cam_vec,
             gt_part=gt, rest_zbuf=rest_j, true_hw=true_hw,
-            voxel_shape=vs, H=Hp, W=Wp,
+            voxel_shape=vs, center=center, H=Hp, W=Wp,
         )
 
     s0, s1, ns = scale_range
@@ -291,11 +331,11 @@ def optimize_part_deform(
     # than the 64-wide candidate program (64x less point work).
     zb_best = deformed_zbuffer(
         jnp.asarray(best), jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
-        true_hw, vs, Hp, Wp,
+        true_hw, vs, center, Hp, Wp,
     )
     zb_id = deformed_zbuffer(
         jnp.asarray(IDENTITY_DEFORM), jnp.asarray(p_f), jnp.asarray(v_f),
-        cam_vec, true_hw, vs, Hp, Wp,
+        cam_vec, true_hw, vs, center, Hp, Wp,
     )
     iou_best = _visible_iou_from_zb(np.asarray(zb_best), rest, gt_p)
     iou_id = _visible_iou_from_zb(np.asarray(zb_id), rest, gt_p)
@@ -332,6 +372,7 @@ def refine_parts(
     pin_identity: Sequence[str] = PIN_IDENTITY_PARTS,
     overrides: Optional[Dict[str, Dict]] = None,
     verify: bool = True,
+    cache=None,
     **kw,
 ) -> Dict[str, Dict]:
     """Optimize every (present) part; returns {part: {deform, iou}} like the
@@ -351,7 +392,8 @@ def refine_parts(
     if part_names is None:
         part_names = [p for p in config.PART_NAMES if p != "background"]
     overrides = overrides or {}
-    cache = PointCache(grid_labels)
+    if cache is None:
+        cache = PointCache(grid_labels)
     present = set(np.unique(cache._labels))
     parts = [p for p in part_names if config.PART_IDS[p] in present]
     if not parts:
@@ -365,17 +407,18 @@ def refine_parts(
     gt_full = np.asarray(mask_labels)
 
     padded_sets = {}
+    centers = {}
     for p in parts:
         pts = cache.points_by_parts([p])[0]
-        pp, _, vv = pad_points(
-            pts, np.zeros(len(pts), np.uint8), bucket_size(len(pts))
-        )
+        pp, vv = pad_points_i16(pts, bucket_size(len(pts)))
         padded_sets[p] = (jnp.asarray(pp), jnp.asarray(vv), len(pts))
+        centers[p] = jnp.asarray(pts.mean(axis=0), jnp.float32)
 
     def zb_at(p: str, deform: np.ndarray) -> np.ndarray:
         pp, vv, _ = padded_sets[p]
         return np.asarray(deformed_zbuffer(
-            jnp.asarray(deform), pp, vv, cam_vec, true_hw, vs, Hp, Wp
+            jnp.asarray(deform), pp, vv, cam_vec, true_hw, vs, centers[p],
+            Hp, Wp,
         ))
 
     state: Dict[str, np.ndarray] = {p: IDENTITY_DEFORM.copy() for p in parts}
@@ -409,7 +452,11 @@ def refine_parts(
     for p in searched:
         deform, _ = optimize_part_deform(
             grid_labels, p, mask_labels, cam,
-            rest_zbuf=rest_zb(p), _points=cache.points_by_parts([p])[0], **kw
+            rest_zbuf=rest_zb(p),
+            _points=cache.points_by_parts([p])[0],
+            _surface_points=cache.surface_points_by_parts([p])[0],
+            _device_full=padded_sets[p][:2],
+            **kw,
         )
         if not np.array_equal(deform, state[p]):
             state[p] = deform

@@ -44,22 +44,36 @@ def deform_coords(
     image_hw,  # (2,) ints or traced int32 array: (H_img, W_img)
     voxel_shape,  # (3,) ints or traced int32 array: (D, H, W)
     deform: jax.Array,  # (4,): scale_y, shift_y, scale_xz, shift_xz
+    center: jax.Array | None = None,  # (3,) f32: the part centroid
 ) -> Tuple[jax.Array, jax.Array]:
     """Warp a padded point set; returns (coords_int (7N, 3) int32, valid (7N,)).
 
     Out-of-grid points are marked invalid (the reference filters them,
     deformation_estimation.py:105-111).  ``image_hw``/``voxel_shape`` may be
     traced arrays so one compiled program serves every scene size.
+
+    ``center`` overrides the centroid the warp pivots on — required when
+    ``coords`` is a subset (e.g. the surface shell) of the part whose full
+    centroid defines the deform (reference uses the full set's mean,
+    deformation_estimation.py:72-74).
+
+    ``coords`` may be int16 (voxel coordinates fit; host->device transfer
+    over the remote tunnel is the stage-3 bottleneck at 512 scale and int16
+    halves it) — cast to float32 here, on device.
     """
+    coords = coords.astype(jnp.float32)
     image_hw = jnp.asarray(image_hw, jnp.float32)
     vs = jnp.asarray(voxel_shape, jnp.float32)
     H_img, W_img = image_hw[0], image_hw[1]
     D, H, W = vs[0], vs[1], vs[2]
     scale_y, shift_y, scale_xz, shift_xz = deform[0], deform[1], deform[2], deform[3]
 
-    # Centroid over VALID original points only (reference uses the raw set).
-    n = jnp.maximum(jnp.sum(valid), 1)
-    center = jnp.sum(jnp.where(valid[:, None], coords, 0.0), axis=0) / n
+    if center is None:
+        # Centroid over VALID original points only (reference uses the raw set).
+        n = jnp.maximum(jnp.sum(valid), 1)
+        center = jnp.sum(jnp.where(valid[:, None], coords, 0.0), axis=0) / n
+    else:
+        center = jnp.asarray(center, jnp.float32)
 
     # In the reference each jittered copy is re-centered on ITS OWN mean, so
     # the constant jitter offset cancels inside the transform and re-appears

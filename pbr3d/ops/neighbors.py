@@ -49,10 +49,40 @@ def _min_dist2_padded(A: jnp.ndarray, B: jnp.ndarray, b_valid: jnp.ndarray, tile
     return jax.lax.map(chunk_min, A_t).reshape(-1)
 
 
+#: "auto" uses the fused Pallas kernel on TPU (distance matrix never leaves
+#: VMEM) and the XLA map elsewhere; "xla"/"pallas" force a path.
+_PALLAS_MODE = None  # resolved lazily from PBR3D_PALLAS
+_PALLAS_BROKEN = False  # set on first failure so auto mode fails over once
+
+
+def _pallas_mode() -> str:
+    global _PALLAS_MODE
+    if _PALLAS_MODE is None:
+        import os
+
+        _PALLAS_MODE = os.environ.get("PBR3D_PALLAS", "auto")
+    return _PALLAS_MODE
+
+
 def min_dist(A: np.ndarray, B: np.ndarray, tile: int = _TILE) -> np.ndarray:
     """Exact nearest-neighbor distance from each point of A to B (float32)."""
     A = np.asarray(A, np.float32)
     B = np.asarray(B, np.float32)
+    mode = _pallas_mode()
+    global _PALLAS_BROKEN
+    if mode == "pallas" or (
+        mode == "auto" and not _PALLAS_BROKEN
+        and jax.devices()[0].platform == "tpu"
+    ):
+        try:
+            from pbr3d.ops.pallas_kernels import min_dist2_pallas
+
+            d2 = min_dist2_pallas(A, B)  # interpret auto: compiled on TPU
+            return np.sqrt(np.maximum(d2, 0.0))
+        except Exception:
+            if mode == "pallas":
+                raise
+            _PALLAS_BROKEN = True  # auto: fall back to XLA for the process
     n = len(A)
     Ap = _pad_rows(jnp.asarray(A), tile, 0.0)
     Bp = _pad_rows(jnp.asarray(B), 8, 0.0)

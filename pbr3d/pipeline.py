@@ -28,7 +28,7 @@ from pbr3d.camera.keypoints import extract_minaret_kps_for_view
 from pbr3d.carving.stage1 import carve_monument
 from pbr3d.deform.search import refine_parts
 from pbr3d.deform.warp import build_deformed_grid
-from pbr3d.carving.voxel import bucket_size, pad_points
+from pbr3d.carving.voxel import bucket_size
 from pbr3d.io.artifacts import save_camera_params, save_voxel_grid
 from pbr3d.io.masks import load_mask_labels, prepare_masks
 
@@ -158,17 +158,18 @@ def run_stage3(
         grid_labels = np.pad(grid_labels, ((0, 0), (0, pad), (0, 0)))
     mask = load_mask_labels(data_root, monument, "front", max_dim)
 
+    from pbr3d.carving.voxel import PointCache
+    from pbr3d.deform.search import pad_points_i16
+
+    cache = PointCache(grid_labels)  # one full-grid scan serves search + build
     deforms = refine_parts(
         grid_labels, mask, cam_final_front, part_names,
-        overrides=overrides, **search_kw,
+        overrides=overrides, cache=cache, **search_kw,
     )
-    from pbr3d.carving.voxel import PointCache
-
-    cache = PointCache(grid_labels)
     part_points = {}
     for part in deforms:
         pts, _ = cache.points_by_parts([part])
-        p, _, v = pad_points(pts, np.zeros(len(pts), np.uint8), bucket_size(len(pts)))
+        p, v = pad_points_i16(pts, bucket_size(len(pts)))
         part_points[part] = (p, v)
     deform_vecs = {
         p: np.array(

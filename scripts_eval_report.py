@@ -30,6 +30,19 @@ sections = []
 sections.append("# Intra-method evaluation (notebook 4 tables)\n")
 sections.append("## pbr3d pipeline output (results_temp, max_dim=256, fully automated)\n")
 sections.append("```\n" + tables("/root/repo/results_temp") + "\n```\n")
+
+import os
+_g = "/root/repo/results_temp_golden"
+if all(
+    os.path.exists(f"{_g}/3.Part-wise_3D_Refinement/{m}_deformed_voxel_grid.npz")
+    for m in MON
+):
+    sections.append(
+        "## pbr3d pipeline output at GOLDEN resolution "
+        "(results_temp_golden, max_dim=512/128, fully automated)\n"
+    )
+    sections.append("```\n" + tables(_g) + "\n```\n")
+
 sections.append("## Reference goldens (results/, max_dim=512/128, human-in-the-loop stages 2-3)\n")
 sections.append("```\n" + tables("/root/reference/results") + "\n```\n")
 open("/root/repo/EVAL_REPORT.md", "w").write("\n".join(sections))

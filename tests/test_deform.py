@@ -148,6 +148,7 @@ def test_visible_objective_respects_occlusion():
         cam_vec=params_to_vector(cam), gt_part=jnp.asarray(gt),
         true_hw=jnp.asarray([H, W], np.int32),
         voxel_shape=jnp.asarray([size, size, size], np.int32),
+        center=jnp.asarray(pts.mean(axis=0), jnp.float32),
         H=Hp, W=Wp,
     )
     no_occ = np.full((Hp, Wp), np.inf, np.float32)

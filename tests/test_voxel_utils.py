@@ -116,3 +116,25 @@ def test_minaret_viz_smoke(golden_root, data_root):
     assert fig is not None
     fig, ious = visualize_minarets_all_cams(grid, mask, {"init": cam})
     assert "init" in ious
+
+
+def test_pointcache_surface_matches_standalone():
+    """PointCache's per-part shell must equal surface_points_by_parts of the
+    part's own solid — including where two parts touch (the shared face is on
+    BOTH parts' shells)."""
+    from pbr3d.carving.voxel import PointCache, surface_points_by_parts
+
+    rng = np.random.default_rng(7)
+    g = np.zeros((20, 18, 16), np.uint8)
+    g[2:10, 3:12, 4:12] = 3
+    g[10:16, 3:12, 4:12] = 5  # touches part 3 on the d0=10 face
+    g[rng.random(g.shape) < 0.05] = 7  # scattered salt
+    cache = PointCache(g)
+    for part_id, name in ((3, "plinth"), (5, "dome"), (7, "chhatris")):
+        from pbr3d import config
+
+        name = [n for n, i in config.PART_IDS.items() if i == part_id][0]
+        want_p, want_l = surface_points_by_parts(g, [name])
+        got_p, got_l = cache.surface_points_by_parts([name])
+        np.testing.assert_array_equal(got_p, want_p)
+        np.testing.assert_array_equal(got_l, want_l)
