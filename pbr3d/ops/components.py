@@ -152,9 +152,15 @@ def connected_components(
     Returns ``(labels int32 (same shape; 0 = background, 1..n in scipy raster
     order), n)`` as host numpy.
 
-    On the axon TPU backend this routes to host scipy — the device labeling
-    programs were observed to return wrong results nondeterministically
-    there (override with PBR3D_COMPONENTS=device).
+    On the axon TPU backend this routes to host scipy.  2026-08 retest
+    (scripts/retest_device_components.py + carved-grid sweep): the device
+    path is CORRECT there up to 256-cubed but 3-18x slower warm (2.2-2.6 s
+    vs 0.1-0.8 s; sequential relaxation sweeps ride the tunnel), and at
+    512-cubed the backend corrupts it DETERMINISTICALLY (Bibi@512
+    full_building: n=5 vs scipy's 9 on all 3 reps; the identical program
+    under JAX_PLATFORMS=cpu returns 9/9 with equal partitions, so the
+    algorithm is right and the backend is not at that size).  Override with
+    PBR3D_COMPONENTS=device.
     """
     import os
 
@@ -201,12 +207,11 @@ def connected_components_device(
     """Like :func:`connected_components` but keeping labels on device — for
     consumers that slice/compare them there (guided carving, recoloring).
 
-    On the axon TPU backend the large device labeling/unique programs were
-    observed to return NONDETERMINISTICALLY WRONG results (see
-    _component_stats_jit docstring for the sibling scatter issue), so there
-    the labels are computed on host via scipy (exact, ~0.3 s at 256³) and
-    shipped back; the all-device path is used on other backends.  Override
-    with PBR3D_COMPONENTS=device|host.
+    On the axon TPU backend labels are computed on host via scipy (exact,
+    ~0.3 s at 256-cubed) and shipped back; the device path was re-validated
+    CORRECT there (scripts/retest_device_components.py) but is 3-18x slower
+    warm — sequential relaxation sweeps ride the tunnel per iteration.
+    Override with PBR3D_COMPONENTS=device|host.
     """
     import os
 
@@ -311,8 +316,8 @@ def component_stats(labels: np.ndarray, n: int):
     reduction cost stays proportional to the actual component count.
 
     On the axon TPU backend stats are computed on HOST (scipy/bincount) —
-    the large device reductions were observed to corrupt nondeterministically
-    there (see connected_components_device).
+    faster than the device reductions at the component counts seen here (the
+    device path is correct per the 2026-08 retest; see connected_components).
     """
     import os
 
