@@ -189,6 +189,15 @@ def mask_labels_selected(mask_labels: np.ndarray, parts: Sequence[str]) -> np.nd
     return np.where(np.isin(mask_labels, ids), mask_labels, 0).astype(np.uint8)
 
 
+#: Image planes with more pixels than this run their random-search
+#: generations at half resolution (the candidate objective is plane-bound:
+#: per-candidate splat + IoU histograms cost O(H*W)).  The result is then
+#: polished by coordinate descent at NATIVE resolution, and the saved params
+#: are the native-resolution optimum.  f/cx/cy live in pixel units and scale
+#: linearly with the image; cam_pos/target are world-space and do not.
+_COARSE_PLANE_PIXELS = 512 * 512
+
+
 def refine_camera_mask_iou(
     grid_labels: np.ndarray,
     mask_labels: np.ndarray,
@@ -200,6 +209,7 @@ def refine_camera_mask_iou(
     cd_rounds: int = 6,
     seed: int = 0,
     lock_xy_equal: bool = False,
+    _allow_coarse: bool = True,
 ) -> Tuple[Dict, float]:
     """Automated mask-IoU camera refinement.  Returns (params, best IoU).
 
@@ -207,6 +217,31 @@ def refine_camera_mask_iou(
     (camera_estimation.py:536-541).
     """
     H, W = mask_labels.shape[:2]
+
+    if _allow_coarse and H * W > _COARSE_PLANE_PIXELS:
+        # Random-search at half resolution (4x cheaper per candidate), then
+        # native-resolution coordinate descent from the upscaled optimum.
+        half_init = dict(init_params)
+        for k in ("f", "cx", "cy"):
+            half_init[k] = float(init_params[k]) / 2.0
+        half, _ = refine_camera_mask_iou(
+            grid_labels, mask_labels[::2, ::2], parts_for_alignment, half_init,
+            generations=generations, population=population, cd_rounds=cd_rounds,
+            seed=seed, lock_xy_equal=lock_xy_equal, _allow_coarse=False,
+        )
+        native_init = {
+            "cam_pos": half["cam_pos"],
+            "target": half["target"],
+            "f": half["f"] * 2.0,
+            "cx": half["cx"] * 2.0,
+            "cy": half["cy"] * 2.0,
+        }
+        return refine_camera_mask_iou(
+            grid_labels, mask_labels, parts_for_alignment, native_init,
+            generations=0, population=population, cd_rounds=cd_rounds,
+            seed=seed, lock_xy_equal=lock_xy_equal, _allow_coarse=False,
+        )
+
     # Surface shell, not the solid: identical silhouettes (rays enter through
     # the shell), and it keeps the per-candidate segment reductions small —
     # the remote backend crashed on ~8M-point scatters at 512 scale.
