@@ -106,8 +106,10 @@ def _lm_fit(
         x, lam, it, _ = state
         r = lm_res(x)
         J = jax.jacfwd(lm_res)(x)  # (R, 9)
-        JtJ = J.T @ J
-        g = J.T @ r
+        # HIGHEST: bf16-default TPU matmuls distort the normal equations
+        hi_p = jax.lax.Precision.HIGHEST
+        JtJ = jnp.matmul(J.T, J, precision=hi_p)
+        g = jnp.matmul(J.T, r, precision=hi_p)
         delta = jnp.linalg.solve(JtJ + lam * jnp.eye(9), -g)
         x_new = jnp.clip(x + delta, lo, hi)
         better = loss(x_new) < loss(x)

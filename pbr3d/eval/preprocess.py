@@ -58,8 +58,13 @@ def _ransac_plane_scores(pts: jax.Array, key, dist_thresh: float, n_candidates: 
     normals = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
     norms = jnp.linalg.norm(normals, axis=1, keepdims=True)
     normals = normals / jnp.maximum(norms, 1e-12)
-    d = -jnp.einsum("cd,cd->c", normals, tri[:, 0])
-    dist = jnp.abs(pts @ normals.T + d[None, :])  # (N, C)
+    d = -jnp.sum(normals * tri[:, 0], axis=1)
+    # HIGHEST: bf16-default TPU matmuls put ~0.004 of error on point-plane
+    # distances scored against a 0.01 inlier threshold
+    dist = jnp.abs(
+        jnp.matmul(pts, normals.T, precision=jax.lax.Precision.HIGHEST)
+        + d[None, :]
+    )  # (N, C)
     inliers = jnp.sum(dist < dist_thresh, axis=0)
     # Degenerate minimal sets ((near-)collinear samples -> ~zero normal)
     # would count everything as an inlier; disqualify them.

@@ -27,9 +27,14 @@ def look_at_rotation(eye: jax.Array, target: jax.Array) -> jax.Array:
 
 
 def camera_rays(pts: jax.Array, cam_pos: jax.Array, target: jax.Array) -> jax.Array:
-    """(N, 3) world points -> camera-frame coordinates."""
+    """(N, 3) world points -> camera-frame coordinates.
+
+    Precision.HIGHEST is load-bearing: TPU matmuls default to bf16 input
+    passes, which puts ~1 px of error on u/v and ~4 voxels on camera Z at
+    512-scale coordinates (measured device-vs-CPU) — fatal for z-buffer
+    visibility tests whose epsilon is 1e-3 (eval_helpers_intra.py:168)."""
     R = look_at_rotation(cam_pos, target)
-    return (pts - cam_pos) @ R.T
+    return jnp.matmul(pts - cam_pos, R.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def project_points(

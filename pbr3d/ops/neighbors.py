@@ -42,7 +42,10 @@ def _min_dist2_padded(A: jnp.ndarray, B: jnp.ndarray, b_valid: jnp.ndarray, tile
 
     def chunk_min(a_chunk):
         aa = jnp.sum(a_chunk * a_chunk, axis=1, keepdims=True)
-        d2 = aa + bb_masked[None, :] - 2.0 * (a_chunk @ B.T) + penalty[None, :]
+        # HIGHEST: TPU matmuls default to bf16 passes, which collapses small
+        # distances (measured on-device: 98% of NN distances off by ~0.25)
+        ab = jnp.matmul(a_chunk, B.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = aa + bb_masked[None, :] - 2.0 * ab + penalty[None, :]
         return jnp.min(d2, axis=1)
 
     A_t = A.reshape(-1, tile, A.shape[1])
@@ -53,6 +56,34 @@ def _min_dist2_padded(A: jnp.ndarray, B: jnp.ndarray, b_valid: jnp.ndarray, tile
 #: VMEM) and the XLA map elsewhere; "xla"/"pallas" force a path.
 _PALLAS_MODE = None  # resolved lazily from PBR3D_PALLAS
 _PALLAS_BROKEN = False  # set on first failure so auto mode fails over once
+
+
+def _xla_min_dist2(A: np.ndarray, B: np.ndarray, tile: int) -> np.ndarray:
+    n = len(A)
+    Ap = _pad_rows(jnp.asarray(np.asarray(A, np.float32)), tile, 0.0)
+    Bp = _pad_rows(jnp.asarray(np.asarray(B, np.float32)), 8, 0.0)
+    bv = jnp.arange(Bp.shape[0]) < len(B)
+    return np.asarray(_min_dist2_padded(Ap, Bp, bv, tile))[:n]
+
+
+_SPOT_CHECK_ROWS = 256
+
+
+def _pallas_result_ok(d2_p: np.ndarray, A: np.ndarray, B: np.ndarray) -> bool:
+    """Sampled verification of a Pallas result against the XLA formulation.
+
+    Cheap insurance on an experimental backend: auto-mode results are
+    spot-checked on ``_SPOT_CHECK_ROWS`` random rows (~1/64 of the full XLA
+    cost) and discarded on mismatch.  Note its limit: it compares against
+    the XLA formulation on the SAME device, so it catches kernel/backend
+    faults but not errors common to both paths — the bf16-default-matmul
+    bug (distances off by ~0.25 before ``Precision.HIGHEST`` was forced)
+    hit both paths identically and was only caught by a host cKDTree
+    comparison; tests/test_eval.py pins that against scipy."""
+    rng = np.random.RandomState(len(A) ^ len(B))
+    idx = rng.choice(len(A), size=min(_SPOT_CHECK_ROWS, len(A)), replace=False)
+    d2_x = _xla_min_dist2(np.asarray(A)[idx], B, tile=min(_TILE, _SPOT_CHECK_ROWS))
+    return bool(np.abs(np.asarray(d2_p)[idx] - d2_x).max() < 1e-3)
 
 
 def _pallas_mode() -> str:
@@ -77,18 +108,15 @@ def min_dist(A: np.ndarray, B: np.ndarray, tile: int = _TILE) -> np.ndarray:
         try:
             from pbr3d.ops.pallas_kernels import min_dist2_pallas
 
-            d2 = min_dist2_pallas(A, B)  # interpret auto: compiled on TPU
+            d2 = np.asarray(min_dist2_pallas(A, B))
+            if mode == "auto" and not _pallas_result_ok(d2, A, B):
+                raise RuntimeError("pallas result fails sampled XLA check")
             return np.sqrt(np.maximum(d2, 0.0))
         except Exception:
             if mode == "pallas":
                 raise
             _PALLAS_BROKEN = True  # auto: fall back to XLA for the process
-    n = len(A)
-    Ap = _pad_rows(jnp.asarray(A), tile, 0.0)
-    Bp = _pad_rows(jnp.asarray(B), 8, 0.0)
-    bv = jnp.arange(Bp.shape[0]) < len(B)
-    d2 = np.asarray(_min_dist2_padded(Ap, Bp, bv, tile))[:n]
-    return np.sqrt(np.maximum(d2, 0.0))
+    return np.sqrt(np.maximum(_xla_min_dist2(A, B, tile), 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile"))
@@ -99,7 +127,8 @@ def _knn_padded(A, B, b_valid, k: int, tile: int):
 
     def chunk(a_chunk):
         aa = jnp.sum(a_chunk * a_chunk, axis=1, keepdims=True)
-        d2 = aa + bb_masked[None, :] - 2.0 * (a_chunk @ B.T) + penalty[None, :]
+        ab = jnp.matmul(a_chunk, B.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = aa + bb_masked[None, :] - 2.0 * ab + penalty[None, :]
         neg, idx = jax.lax.top_k(-d2, k)
         return -neg, idx
 

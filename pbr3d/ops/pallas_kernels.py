@@ -41,8 +41,10 @@ def _min_dist2_kernel(a_ref, b_ref, pen_ref, o_ref):
     b = b_ref[:]  # (TILE_B, 4)
     aa = jnp.sum(a * a, axis=1, keepdims=True)  # (TILE_A, 1)
     bb = jnp.sum(b * b, axis=1) + pen_ref[0, :]  # (TILE_B,)
+    # HIGHEST: MXU matmuls default to bf16 passes; small distances collapse
     d2 = aa + bb[None, :] - 2.0 * jnp.dot(
-        a, b.T, preferred_element_type=jnp.float32
+        a, b.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     row_min = jnp.min(d2, axis=1)[None, :]  # (1, TILE_A)
     o_ref[pl.ds(i, 1), :] = jnp.minimum(o_ref[pl.ds(i, 1), :], row_min)
