@@ -213,6 +213,7 @@ def optimize_part_deform(
     _points=None,
     _surface_points=None,
     _device_full=None,
+    _zb_identity=None,
 ) -> Tuple[np.ndarray, float]:
     """Best (scale_y, shift_y, scale_xz, shift_xz) for one part + its IoU.
 
@@ -333,10 +334,13 @@ def optimize_part_deform(
         jnp.asarray(best), jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
         true_hw, vs, center, Hp, Wp,
     )
-    zb_id = deformed_zbuffer(
-        jnp.asarray(IDENTITY_DEFORM), jnp.asarray(p_f), jnp.asarray(v_f),
-        cam_vec, true_hw, vs, center, Hp, Wp,
-    )
+    if _zb_identity is not None:
+        zb_id = _zb_identity  # already maintained by refine_parts
+    else:
+        zb_id = np.asarray(deformed_zbuffer(
+            jnp.asarray(IDENTITY_DEFORM), jnp.asarray(p_f), jnp.asarray(v_f),
+            cam_vec, true_hw, vs, center, Hp, Wp,
+        ))
     iou_best = _visible_iou_from_zb(np.asarray(zb_best), rest, gt_p)
     iou_id = _visible_iou_from_zb(np.asarray(zb_id), rest, gt_p)
     if iou_best <= iou_id:
@@ -456,6 +460,7 @@ def refine_parts(
             _points=cache.points_by_parts([p])[0],
             _surface_points=cache.surface_points_by_parts([p])[0],
             _device_full=padded_sets[p][:2],
+            _zb_identity=zb_identity[p],
             **kw,
         )
         if not np.array_equal(deform, state[p]):
