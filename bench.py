@@ -50,7 +50,11 @@ import numpy as np
 from pbr3d import config
 from pbr3d.pipeline import run_all
 
-BASELINE_S = 148.5  # 5 x 29.7 s (reference stage 1 only, max_dim=256, 1 CPU core)
+# Reference stage-1-only CPU cost for the 5-monument batch (its stages 2-3
+# are human-interactive and have no automated baseline): 5 x 29.7 s measured
+# at max_dim=256; at golden resolution ~3.5 min/monument (BASELINE.md,
+# extrapolated x8 voxel count, consistent with SURVEY's 3-4 min estimate).
+BASELINE_S_BY_MODE = {"256": 148.5, "512": 1050.0, "golden": 1050.0}
 GOLDEN_DIR = "/root/reference/results/1.Orthographic_Voxel_Carving"
 # Cross-resolution occupancy-IoU floor.  The gate compares a @256 run against
 # @512 goldens (Akbar @128) after strided downsampling; stage-1 is separately
@@ -119,7 +123,11 @@ def _stage3_whole_iou(monument: str, result) -> float:
 
 
 def main():
-    max_dim = int(os.environ.get("PBR3D_BENCH_MAX_DIM", "256"))
+    raw = os.environ.get("PBR3D_BENCH_MAX_DIM", "256")
+    # "golden" = per-monument golden resolution (512; Akbar 128), the
+    # configuration the reference's results/ were produced at.
+    max_dim = None if raw == "golden" else int(raw)
+    baseline_s = BASELINE_S_BY_MODE.get(raw, 148.5)
     passes = int(os.environ.get("PBR3D_BENCH_PASSES", "3"))
     kw = dict(
         max_dim=max_dim,
@@ -147,7 +155,7 @@ def main():
     # ---- quality gates ----
     s1_ious, s3_ious = {}, {}
     for m, r in results.items():
-        iou1 = _stage1_iou_vs_golden(m, r.grid_stage1, max_dim)
+        iou1 = _stage1_iou_vs_golden(m, r.grid_stage1, max_dim or 512)
         if iou1 is not None:
             s1_ious[m] = round(float(iou1), 4)
         s3_ious[m] = round(float(_stage3_whole_iou(m, r)), 4)
@@ -183,10 +191,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"full_3stage_pipeline_5monuments_maxdim{max_dim}",
+                "metric": "full_3stage_pipeline_5monuments_maxdim"
+                          f"{'golden' if max_dim is None else max_dim}",
                 "value": round(value, 3),
                 "unit": "s",
-                "vs_baseline": round(BASELINE_S / value, 3),
+                "vs_baseline": round(baseline_s / value, 3),
                 "stage1_iou_min": min(s1_ious.values()) if s1_ious else None,
                 "stage3_whole_iou_min": min(s3_ious.values()) if s3_ious else None,
                 "quality_ok": quality_ok,
