@@ -132,13 +132,200 @@ def _guided_window_step(
     iz = jax.lax.broadcasted_iota(jnp.int32, (Wb, Hb, Db), 2)
     in_true = (ix < true_whd[0]) & (iy < true_whd[1]) & (iz < true_whd[2])
 
-    occ = ((window > 0) & in_true).astype(jnp.uint8)
+    # The reference sweeps ONLY this component's occupancy
+    # (voxel_carving_utils.py:184-193: occ = labeled == i before the crop) —
+    # not everything in the bbox.  Own-component occupancy also makes every
+    # window independent of every other window's erasures (a part's carve
+    # erases only its own voxels), which the batched path relies on.
+    occ = ((compw == comp_id) & in_true).astype(jnp.uint8)
     m2 = jnp.broadcast_to(
         (m_wh_p > 0).astype(jnp.uint8).T[:, :, None], (Hb, Wb, Db)
     ).reshape(Hb, Wb * Db)
     carved = _sweep_padded(occ, m2, (plan_idx, plan_dec))
     erase = (compw == comp_id) & (carved == 0) & in_true
     return jnp.where(erase, jnp.uint8(0), window)
+
+
+def _guided_window_erase(
+    window: Array,
+    compw: Array,
+    comp_id: Array,
+    m_wh_p: Array,
+    true_whd: Array,
+    plan_idx: Array,
+    plan_dec: Array,
+) -> Array:
+    """Bool erase mask of one window (the carve decision of
+    :func:`_guided_window_step`, without applying it)."""
+    Wb, Hb, Db = window.shape
+    ix = jax.lax.broadcasted_iota(jnp.int32, (Wb, Hb, Db), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (Wb, Hb, Db), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (Wb, Hb, Db), 2)
+    in_true = (ix < true_whd[0]) & (iy < true_whd[1]) & (iz < true_whd[2])
+    occ = ((compw == comp_id) & in_true).astype(jnp.uint8)
+    m2 = jnp.broadcast_to(
+        (m_wh_p > 0).astype(jnp.uint8).T[:, :, None], (Hb, Wb, Db)
+    ).reshape(Hb, Wb * Db)
+    carved = _sweep_padded(occ, m2, (plan_idx, plan_dec))
+    return (compw == comp_id) & (carved == 0) & in_true
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Wb", "Hb", "Db"), donate_argnums=(0,)
+)
+def _guided_windows_apply_many(
+    grid_b: Array,  # (B, Wp, Hp, Dp) — donated
+    starts: Array,  # (K, 4) int32: (scene, x0, y0, z0)
+    compws: Array,  # (K, Wb, Hb, Db) int32
+    comp_ids: Array,  # (K,) int32 (-1 = padding no-op)
+    m_whs: Array,  # (K, Wb, Hb) bool
+    true_whds: Array,  # (K, 3) int32
+    plan_idxs: Array,
+    plan_decs: Array,
+    Wb: int,
+    Hb: int,
+    Db: int,
+) -> Array:
+    """Many guided windows in ONE dispatch.
+
+    Every window's sweep reads only its own component's occupancy (stale
+    labels are exact: no other part/window erases those voxels), so the
+    expensive carve decisions are data-parallel — computed vmapped from the
+    incoming grid state — and only the cheap erase write-backs run
+    sequentially (overlapping windows re-read the current state, so an
+    overlap cannot resurrect another window's erasure)."""
+
+    def one(start, compw, comp_id, m_wh, true_whd, pidx, pdec):
+        window = jax.lax.dynamic_slice(
+            grid_b, (start[0], start[1], start[2], start[3]), (1, Wb, Hb, Db)
+        )[0]
+        return _guided_window_erase(
+            window, compw, comp_id, m_wh, true_whd, pidx, pdec
+        )
+
+    erases = jax.vmap(one)(
+        starts, compws, comp_ids, m_whs, true_whds, plan_idxs, plan_decs
+    )
+
+    def body(i, gb):
+        start = starts[i]
+        cur = jax.lax.dynamic_slice(
+            gb, (start[0], start[1], start[2], start[3]), (1, Wb, Hb, Db)
+        )
+        new = jnp.where(erases[i][None], jnp.uint8(0), cur)
+        return jax.lax.dynamic_update_slice(
+            gb, new, (start[0], start[1], start[2], start[3])
+        )
+
+    return jax.lax.fori_loop(0, starts.shape[0], body, grid_b)
+
+
+def _collect_guided_jobs(
+    grid_host: np.ndarray,  # (w, h, d) TRUE-extent labels of one scene
+    exterior_labels: np.ndarray,
+    part_symmetry,
+    window_bucket: int,
+):
+    """Per-scene window jobs (the loop bodies of guided_carve_all /
+    _guided_windows_for_part, without applying them)."""
+    from pbr3d.ops.components import _host_scipy_label, _host_component_stats
+
+    jobs = []
+    parts = [
+        (p, a) for p, a in part_symmetry
+        if (exterior_labels == PART_IDS[p]).any()
+    ]
+    for part, angle in parts:
+        target = PART_IDS[part]
+        comp_true, n = _host_scipy_label(grid_host == target, "face")
+        if n == 0:
+            continue
+        stats = _host_component_stats(comp_true, n)
+        mask2d = exterior_labels == target
+        for i in range(1, n + 1):
+            if stats["count"][i] == 0:
+                continue
+            x0, y0, z0 = (int(v) for v in stats["bbox_min"][i])
+            x1, y1, z1 = (int(v) + 1 for v in stats["bbox_max"][i])
+            w, h, d = x1 - x0, y1 - y0, z1 - z0
+            Wb = _round_up(w, window_bucket)
+            Hb = _round_up(h, window_bucket)
+            Db = _round_up(d, window_bucket)
+            compw = np.zeros((Wb, Hb, Db), comp_true.dtype)
+            xs = min(comp_true.shape[0], x0 + Wb)
+            ys = min(comp_true.shape[1], y0 + Hb)
+            zs = min(comp_true.shape[2], z0 + Db)
+            compw[: xs - x0, : ys - y0, : zs - z0] = comp_true[x0:xs, y0:ys, z0:zs]
+            crop2d = mask2d[y0:y1, x0:x1]
+            m_wh = np.zeros((Wb, Hb), bool)
+            m_wh[:w, :h] = crop2d.T if crop2d.shape == (h, w) else crop2d
+            idx, dec = _stacked_plans_padded(w, d, Wb, Db, int(angle))
+            jobs.append(dict(
+                start=(x0, y0, z0), compw=compw, comp_id=i, m_wh=m_wh,
+                true_whd=(w, h, d), idx=idx, dec=dec,
+                key=(Wb, Hb, Db, idx.shape[0]),
+            ))
+    return jobs
+
+
+#: Per-dispatch window-element budget for the batched guided carve (the
+#: vmapped erase phase materializes ~6 window-sized buffers per job).
+_GUIDED_BATCH_ELEMS = 1 << 27
+
+
+def guided_carve_batched(
+    grid_b: Array,  # (B, Wp, Hp, Dp) stacked padded scene grids
+    scene_jobs: dict,  # scene index -> job list from _collect_guided_jobs
+) -> Array:
+    """Apply every scene's guided windows in a handful of dispatches.
+
+    Jobs are grouped by (window bucket, rotation count); each group is
+    chunked to ``_GUIDED_BATCH_ELEMS`` and padded to a pow2 job count with
+    no-op jobs (comp_id=-1 matches nothing), so only a few executables
+    exist per bucket shape."""
+    flat = []
+    for b, jobs in scene_jobs.items():
+        for j in jobs:
+            flat.append((b, j))
+    if not flat:
+        return grid_b
+    by_key = {}
+    for b, j in flat:
+        by_key.setdefault(j["key"], []).append((b, j))
+
+    for (Wb, Hb, Db, _), items in sorted(by_key.items()):
+        vol = Wb * Hb * Db
+        k_chunk = max(1, _GUIDED_BATCH_ELEMS // vol)
+        for c0 in range(0, len(items), k_chunk):
+            chunk = items[c0 : c0 + k_chunk]
+            K = len(chunk)
+            Kp = 1 << (K - 1).bit_length()  # pow2 pad -> few executables
+            starts = np.zeros((Kp, 4), np.int32)
+            compws = np.zeros((Kp, Wb, Hb, Db), chunk[0][1]["compw"].dtype)
+            comp_ids = np.full((Kp,), -1, np.int32)
+            m_whs = np.zeros((Kp, Wb, Hb), bool)
+            true_whds = np.ones((Kp, 3), np.int32)
+            idxs = np.stack(
+                [j["idx"] for _, j in chunk]
+                + [chunk[0][1]["idx"]] * (Kp - K)
+            )
+            decs = np.stack(
+                [j["dec"] for _, j in chunk]
+                + [chunk[0][1]["dec"]] * (Kp - K)
+            )
+            for k, (b, j) in enumerate(chunk):
+                starts[k] = (b, *j["start"])
+                compws[k] = j["compw"]
+                comp_ids[k] = j["comp_id"]
+                m_whs[k] = j["m_wh"]
+                true_whds[k] = j["true_whd"]
+            grid_b = _guided_windows_apply_many(
+                grid_b, jnp.asarray(starts), jnp.asarray(compws),
+                jnp.asarray(comp_ids), jnp.asarray(m_whs),
+                jnp.asarray(true_whds), jnp.asarray(idxs), jnp.asarray(decs),
+                Wb, Hb, Db,
+            )
+    return grid_b
 
 
 @functools.partial(
@@ -367,7 +554,7 @@ def carve_monument_fused(
     mask_set,
     preset: config.CarvePreset = config.DEFAULT_CARVE_PRESET,
     bucket: int = 64,
-    guided_margin: int = 128,
+    guided_margin: int = 64,
 ) -> np.ndarray:
     """Full stage 1, program-count-minimized.  Returns the uint8 label grid
     (host numpy, true extent, reoriented frame — identical to
@@ -377,7 +564,12 @@ def carve_monument_fused(
     sem = mask_set.semantic_labels
     h, w = binary.shape
     d = w
-    # pad masks to the bucketed extent + guided-carve window margin
+    # pad masks to the bucketed extent + guided-carve window margin.  The
+    # margin only has to keep window slices in bounds: a bbox rounded up to
+    # the 32-voxel window bucket overshoots its grid edge by at most 31, so
+    # 64 is safe — and 128 inflated the 256-scale batch past the memory
+    # budget, silently demoting carve_monuments_batched to the serial path
+    # (and every sweep to 1.7x the voxels).
     Wb = _round_up(w + guided_margin, bucket)
     Hb = _round_up(h + guided_margin, bucket)
     Db = Wb
@@ -421,7 +613,7 @@ def carve_monuments_batched(
     mask_sets: dict,
     preset: config.CarvePreset = config.DEFAULT_CARVE_PRESET,
     bucket: int = 64,
-    guided_margin: int = 128,
+    guided_margin: int = 64,
     mem_budget_bytes: int = 6 << 30,
 ) -> dict:
     """Stage 1 for MANY monuments with the big sweeps batched (SURVEY §7 M6).
@@ -486,19 +678,24 @@ def carve_monuments_batched(
         jnp.asarray(idx_b), jnp.asarray(dec_b), group_ids,
     )
 
-    grids = {}
+    # Component-guided carving, batched: host-label each scene's parts from
+    # one true-extent download, then apply ALL scenes' windows in a few
+    # grouped dispatches (every window commutes — see guided_carve_batched).
+    scene_jobs = {}
     for i, m in enumerate(names):
-        grids[m] = guided_carve_all(
-            grid_b[i], mask_sets[m].exterior_labels, preset.part_symmetry
+        w, h, d = whd[m]
+        grid_host = np.asarray(grid_b[i, :w, :h, :d])
+        scene_jobs[i] = _collect_guided_jobs(
+            grid_host, mask_sets[m].exterior_labels, preset.part_symmetry, 32
         )
+    grid_b = guided_carve_batched(grid_b, scene_jobs)
 
     jobs = tuple((PART_IDS[p], int(depth)) for p, depth in preset.extrusion_depths)
     if jobs:
-        stacked = jnp.stack([grids[m] for m in names])
-        stacked = _extrude_all_batched(
-            stacked, jnp.asarray(sem_b), jnp.asarray(true_b), jobs
+        grid_b = _extrude_all_batched(
+            grid_b, jnp.asarray(sem_b), jnp.asarray(true_b), jobs
         )
-        grids = {m: stacked[i] for i, m in enumerate(names)}
+    grids = {m: grid_b[i] for i, m in enumerate(names)}
 
     out = {}
     for m in names:
