@@ -96,3 +96,41 @@ def test_carve_monuments_batched_memory_fallback(data_root):
     np.testing.assert_array_equal(
         batched["Akbar"], carve_monument_fused(sets["Akbar"])
     )
+
+
+def test_guided_batched_overlapping_windows(data_root):
+    """Two same-part components whose bucket windows OVERLAP must carve
+    identically batched and serial: the batched write-backs re-read the live
+    grid, so one window's slice cannot resurrect the other's erasure."""
+    import jax.numpy as jnp
+
+    from pbr3d import config
+    from pbr3d.carving.fused import (
+        _collect_guided_jobs, guided_carve_all, guided_carve_batched,
+    )
+
+    pid = config.PART_IDS["front_minarets"]
+    w = h = d = 48
+    grid = np.zeros((w, h, d), np.uint8)
+    # two tall thin components 6 voxels apart: 32-bucket windows overlap
+    grid[4:14, 2:46, 20:30] = pid
+    grid[20:30, 2:46, 20:30] = pid
+    ext = np.zeros((h, w), np.uint8)
+    ext[2:46, 2:30] = pid
+    ext[10:20, 8:26] = 0  # carve bites so the windows actually erase
+    Wp = Hp = Dp = 64  # padded extent with margin
+    grid_p = np.zeros((Wp, Hp, Dp), np.uint8)
+    grid_p[:w, :h, :d] = grid
+
+    serial = np.asarray(
+        guided_carve_all(jnp.asarray(grid_p), ext, [("front_minarets", 5)])
+    )
+    jobs = _collect_guided_jobs(grid, ext, [("front_minarets", 5)], 32)
+    assert len(jobs) == 2
+    x_spans = sorted((j["start"][0], j["start"][0] + j["key"][0]) for j in jobs)
+    assert x_spans[0][1] > x_spans[1][0], "windows should overlap in x"
+    batched = np.asarray(
+        guided_carve_batched(jnp.asarray(grid_p)[None], {0: jobs})[0]
+    )
+    np.testing.assert_array_equal(batched, serial)
+    assert (batched != grid_p).any(), "the carve must actually erase something"
