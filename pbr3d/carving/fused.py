@@ -609,6 +609,19 @@ def carve_monument_fused(
     return grid_true
 
 
+def _batched_sweep_budget(whd_values, bucket: int, guided_margin: int):
+    """(Wb, Hb, Db, bytes-per-scene) for the batched sweep working set
+    (~6 int32-equivalent buffers of (Hb, Wb*Db)).  Factored out so tests can
+    assert the 256-scale batch stays UNDER the default budget — round 2
+    shipped with a margin that silently demoted every bench run to the
+    serial fallback."""
+    whd_values = list(whd_values)
+    Wb = _round_up(max(w for w, _, _ in whd_values) + guided_margin, bucket)
+    Hb = _round_up(max(h for _, h, _ in whd_values) + guided_margin, bucket)
+    Db = Wb
+    return Wb, Hb, Db, 6 * 4 * Wb * Hb * Db
+
+
 def carve_monuments_batched(
     mask_sets: dict,
     preset: config.CarvePreset = config.DEFAULT_CARVE_PRESET,
@@ -637,13 +650,11 @@ def carve_monuments_batched(
         return {}
     whd = {m: (mask_sets[m].binary.shape[1], mask_sets[m].binary.shape[0],
                mask_sets[m].binary.shape[1]) for m in names}
-    Wb = _round_up(max(w for w, _, _ in whd.values()) + guided_margin, bucket)
-    Hb = _round_up(max(h for _, h, _ in whd.values()) + guided_margin, bucket)
-    Db = Wb
+    Wb, Hb, Db, est = _batched_sweep_budget(
+        whd.values(), bucket, guided_margin
+    )
     B = len(names)
-    # sweep working set: ~6 int32 buffers of (B, Hb, Wb*Db)
-    est = 6 * 4 * B * Wb * Hb * Db
-    if est > mem_budget_bytes:
+    if est * B > mem_budget_bytes:
         return {m: carve_monument_fused(mask_sets[m], preset) for m in names}
 
     angles = {angle for _, angle in preset.group_jobs}

@@ -134,3 +134,28 @@ def test_guided_batched_overlapping_windows(data_root):
     )
     np.testing.assert_array_equal(batched, serial)
     assert (batched != grid_p).any(), "the carve must actually erase something"
+
+
+def test_batched_stage1_active_at_bench_resolution(data_root):
+    """The 5-monument @256 batch must fit the default memory budget — a
+    too-generous guided margin once silently demoted every bench run to the
+    serial per-monument path."""
+    import inspect
+
+    from pbr3d import config
+    from pbr3d.carving.fused import _batched_sweep_budget, carve_monuments_batched
+    from pbr3d.io.masks import prepare_masks
+
+    sig = inspect.signature(carve_monuments_batched)
+    bucket = sig.parameters["bucket"].default
+    margin = sig.parameters["guided_margin"].default
+    budget = sig.parameters["mem_budget_bytes"].default
+    whd = []
+    for m in config.MONUMENTS:
+        b = prepare_masks(data_root, m, "front", 256).binary
+        whd.append((b.shape[1], b.shape[0], b.shape[1]))
+    *_, per_scene = _batched_sweep_budget(whd, bucket, margin)
+    assert per_scene * len(whd) <= budget, (
+        f"batched stage-1 would fall back to serial at 256: "
+        f"{per_scene * len(whd) / 1e9:.2f} GB > {budget / 1e9:.2f} GB"
+    )
