@@ -20,12 +20,16 @@ tunnel showed 20-25% run-to-run variance in round 1).
 Quality gates (computed once from the last pass):
 * stage-1 occupancy IoU per monument vs the reference golden
   (results/1.Orthographic_Voxel_Carving, stride-downsampled to the bench
-  resolution).  Threshold 0.95: the goldens are drifted snapshots — the live
-  reference code itself only scores ~0.967 against them (tests/test_stage1.py
-  docstring); bit-exactness vs the LIVE reference is asserted separately by
-  tests/test_stage1.py fixtures.
+  resolution).  Threshold 0.92 (= STAGE1_IOU_MIN): the goldens are drifted
+  snapshots — the live reference code itself only scores ~0.967 against them
+  at EQUAL resolution, and the cross-resolution comparison costs a few more
+  points (Charminar 0.929); bit-exactness vs the LIVE reference is asserted
+  separately by tests/test_stage1.py fixtures.
 * stage-3 whole-silhouette visibility-aware IoU (the notebook-4 "whole" row,
   eval_helpers_intra.py:560-748) per monument, threshold 0.80.
+* stage-3 MEAN per-part visibility-aware IoU per monument, threshold 0.50
+  (floor below today's worst monument, Charminar ~0.54) — catches a
+  part-level collapse that the whole-silhouette union would hide.
 
 A persistent XLA compilation cache under .jax_cache amortizes the remote-TPU
 compile cost across runs; the first cold run is compile-dominated.
@@ -66,6 +70,7 @@ GOLDEN_DIR = "/root/reference/results/1.Orthographic_Voxel_Carving"
 # goldens at equal resolution).
 STAGE1_IOU_MIN = 0.92
 STAGE3_WHOLE_IOU_MIN = 0.80
+STAGE3_MEAN_PART_IOU_MIN = 0.50
 
 
 def _stage1_iou_vs_golden(monument: str, grid, max_dim: int):
@@ -153,23 +158,24 @@ def main():
     print(f"[bench] per-monument stage timings: {per_stage}", file=sys.stderr)
 
     # ---- quality gates ----
-    s1_ious, s3_ious = {}, {}
+    s1_ious, s3_ious, s3_part_ious = {}, {}, {}
     for m, r in results.items():
         iou1 = _stage1_iou_vs_golden(m, r.grid_stage1, max_dim or 512)
         if iou1 is not None:
             s1_ious[m] = round(float(iou1), 4)
         s3_ious[m] = round(float(_stage3_whole_iou(m, r)), 4)
+        s3_part_ious[m] = round(
+            float(
+                sum(d["iou"] for d in r.deform_params.values())
+                / max(len(r.deform_params), 1)
+            ),
+            4,
+        )
     quality = {
         m: {
             "stage1_iou_vs_golden": s1_ious.get(m),
             "stage3_whole_iou": s3_ious[m],
-            "stage3_mean_part_iou": round(
-                float(
-                    sum(d["iou"] for d in r.deform_params.values())
-                    / max(len(r.deform_params), 1)
-                ),
-                4,
-            ),
+            "stage3_mean_part_iou": s3_part_ious[m],
             "views": sorted(r.cameras["final"]),
         }
         for m, r in results.items()
@@ -180,11 +186,13 @@ def main():
         len(results) == len(config.MONUMENTS)
         and all(v >= STAGE1_IOU_MIN for v in s1_ious.values())
         and all(v >= STAGE3_WHOLE_IOU_MIN for v in s3_ious.values())
+        and all(v >= STAGE3_MEAN_PART_IOU_MIN for v in s3_part_ious.values())
     )
     if not quality_ok:
         print(
             f"[bench] QUALITY GATE FAILED: {len(results)}/{len(config.MONUMENTS)} "
-            f"monuments, stage1 {s1_ious}, stage3_whole {s3_ious}",
+            f"monuments, stage1 {s1_ious}, stage3_whole {s3_ious}, "
+            f"stage3_mean_part {s3_part_ious}",
             file=sys.stderr,
         )
 
@@ -198,6 +206,9 @@ def main():
                 "vs_baseline": round(baseline_s / value, 3),
                 "stage1_iou_min": min(s1_ious.values()) if s1_ious else None,
                 "stage3_whole_iou_min": min(s3_ious.values()) if s3_ious else None,
+                "stage3_mean_part_iou_min": (
+                    min(s3_part_ious.values()) if s3_part_ious else None
+                ),
                 "quality_ok": quality_ok,
             }
         )

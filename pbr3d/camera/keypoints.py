@@ -155,11 +155,18 @@ def extract_minaret_kps_for_view(
     grid_labels: np.ndarray,
     mask_labels: np.ndarray,
     minaret_parts: Sequence[str] = MINARET_PARTS,
+    voxel_parts: Dict[str, np.ndarray] | None = None,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, Tuple[float, float]]]:
     """Matched voxel/image keypoints for one view, with the stage-2 filter:
     M1 anchors keep top+bottom, M2 anchors keep top only
-    (reference: camera_estimation.py:20-50)."""
-    voxel_parts = extract_minaret_voxels_by_label(grid_labels, minaret_parts)
+    (reference: camera_estimation.py:20-50).
+
+    ``voxel_parts`` optionally injects the 3D minaret components — they
+    depend only on the grid, so callers processing several views of one
+    monument compute them once (the 3D labeling is the stage-2 host
+    hot spot, SURVEY §6: ~13 s at 512³ in the reference)."""
+    if voxel_parts is None:
+        voxel_parts = extract_minaret_voxels_by_label(grid_labels, minaret_parts)
     mask_parts = extract_minaret_masks_by_label(mask_labels, minaret_parts)
 
     common = list(set(voxel_parts) & set(mask_parts))

@@ -90,12 +90,23 @@ def run_stage2(
         "drone": load_mask_labels(data_root, monument, "drone"),
     }
 
+    # The 3D minaret components depend only on the grid — share them across
+    # views (the labeling is the stage-2 host hot spot).
+    from pbr3d.camera.keypoints import extract_minaret_voxels_by_label
+
+    try:
+        vox_parts = extract_minaret_voxels_by_label(grid_labels)
+    except ValueError:
+        vox_parts = None
+
     init_params: Dict[str, Dict] = {}
     kp_params: Dict[str, Dict] = {}
     final_params: Dict[str, Dict] = {}
     for view, mask in views.items():
         try:
-            vox_kps, img_kps = extract_minaret_kps_for_view(grid_labels, mask)
+            vox_kps, img_kps = extract_minaret_kps_for_view(
+                grid_labels, mask, voxel_parts=vox_parts
+            )
             init = auto_compute_initial_params_matching_bbox(
                 grid_labels, mask, list(ALIGN_PARTS)
             )
