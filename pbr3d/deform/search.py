@@ -87,7 +87,7 @@ def _batch_deform_iou(
     return jax.vmap(one)(deforms)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "approx"))
 def _batch_deform_visible_iou(
     deforms: jax.Array,  # (P, 4)
     coords: jax.Array,  # (N, 3) f32
@@ -100,6 +100,7 @@ def _batch_deform_visible_iou(
     center: jax.Array,  # (3,) f32 — FULL part centroid (coords may be a shell)
     H: int,
     W: int,
+    approx: bool = False,
 ) -> jax.Array:
     """Visibility-aware binary IoU per candidate — the notebook-4 metric.
 
@@ -111,7 +112,8 @@ def _batch_deform_visible_iou(
     """
 
     def one(d):
-        c, v = deform_coords(coords, valid, true_hw, voxel_shape, d, center)
+        c, v = deform_coords(coords, valid, true_hw, voxel_shape, d, center,
+                             approx=approx)
         zb = zbuffer(
             c.astype(jnp.float32), v,
             cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
@@ -121,6 +123,77 @@ def _batch_deform_visible_iou(
         inter = jnp.sum(visible & gt_part).astype(jnp.float32)
         union = jnp.sum(visible | gt_part).astype(jnp.float32)
         return jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0)
+
+    return jax.vmap(one)(deforms)
+
+
+#: Hinge-penalty weight on regressing another part's visible IoU below its
+#: all-identity baseline.  >1 so that stealing a neighbor's pixels is never
+#: a net win for the search objective.
+NEIGHBOR_PENALTY = 3.0
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "approx"))
+def _batch_deform_visible_iou_penalized(
+    deforms: jax.Array,  # (P, 4)
+    coords: jax.Array,  # (N, 3) f32/int16
+    valid: jax.Array,  # (N,)
+    cam_vec: jax.Array,  # (9,)
+    gt_part: jax.Array,  # (H, W) bool
+    rest_zbuf: jax.Array,  # (H, W) f32 — min-Z of all OTHER parts
+    true_hw: jax.Array,  # (2,) int32
+    voxel_shape: jax.Array,  # (3,) int32
+    center: jax.Array,  # (3,) f32
+    nb_zb: jax.Array,  # (Q, H/2, W/2) f32 — neighbors' own z-buffers, min-pooled
+    nb_base: jax.Array,  # (Q, H/2, W/2) bool — neighbor visible vs rest-
+    #                      excluding-{self, this part} (candidate-independent)
+    nb_gt: jax.Array,  # (Q, H/2, W/2) bool — neighbor GT planes, max-pooled
+    nb_floor: jax.Array,  # (Q,) f32 — neighbor init-state IoU floors (half-res)
+    nb_valid: jax.Array,  # (Q,) bool — padding mask over the neighbor axis
+    H: int,
+    W: int,
+    approx: bool = False,
+) -> jax.Array:
+    """Search objective with cross-part accounting: the candidate's own
+    notebook-4 visible IoU MINUS a hinge penalty for pushing any neighbor
+    part below its all-identity IoU floor.
+
+    Rationale: the nb4 table (eval_helpers_intra.py:560-748) z-tests every
+    part against the WHOLE deformed grid, so a deform that grows part A in
+    front of part B "wins" A's cell while silently collapsing B's — exactly
+    the Itimad dome-over-main_door failure.  The human operator judged the
+    whole overlay; this objective encodes that judgment.
+
+    Neighbor q's visible mask under candidate z-buffer zc is
+    ``zb_q < min(rest_{q,p}, zc) + eps``; with ``base_q`` precomputed as
+    ``zb_q < rest_{q,p} + eps`` that is ``base_q & (zb_q < zc + eps)`` — two
+    masked sums per neighbor per candidate, no point work.
+    """
+
+    def one(d):
+        c, v = deform_coords(coords, valid, true_hw, voxel_shape, d, center,
+                             approx=approx)
+        zc = zbuffer(
+            c.astype(jnp.float32), v,
+            cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
+            H, W, true_hw=true_hw,
+        )
+        visible = zc < rest_zbuf + VIS_EPS
+        inter = jnp.sum(visible & gt_part).astype(jnp.float32)
+        union = jnp.sum(visible | gt_part).astype(jnp.float32)
+        own = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0)
+
+        # Neighbor accounting at HALF resolution (the hinge is a guard; its
+        # floors are computed at the same resolution, so it is self-
+        # consistent and 4x cheaper than full-res planes).
+        zc2 = zc.reshape(H // 2, 2, W // 2, 2).min(axis=(1, 3))
+        pass_z = nb_zb < zc2[None] + VIS_EPS  # (Q, H/2, W/2)
+        vis_q = nb_base & pass_z
+        inter_q = jnp.sum(vis_q & nb_gt, axis=(1, 2)).astype(jnp.float32)
+        union_q = jnp.sum(vis_q | nb_gt, axis=(1, 2)).astype(jnp.float32)
+        iou_q = jnp.where(union_q > 0, inter_q / jnp.maximum(union_q, 1.0), 0.0)
+        drop = jnp.where(nb_valid, jnp.maximum(nb_floor - iou_q, 0.0), 0.0)
+        return own - NEIGHBOR_PENALTY * jnp.sum(drop)
 
     return jax.vmap(one)(deforms)
 
@@ -153,26 +226,35 @@ def deformed_zbuffer(
 _POINT_BUDGET = 1 << 26
 
 
-def _auto_chunk(n_points: int, chunk_cap: int) -> int:
-    c = max(1, _POINT_BUDGET // max(1, 7 * n_points))
+def _auto_chunk(cost_units: int, chunk_cap: int) -> int:
+    """Chunk size given per-candidate cost in point-equivalents."""
+    c = max(1, _POINT_BUDGET // max(1, cost_units))
     c = 1 << (c.bit_length() - 1)  # floor pow2 -> few distinct compiled shapes
     return int(min(c, chunk_cap))
 
 
-def _eval_chunked(deforms: np.ndarray, chunk_cap: int, **kw) -> np.ndarray:
+def _eval_chunked(deforms: np.ndarray, chunk_cap: int, fn=None, approx=False,
+                  **kw) -> np.ndarray:
     """Evaluate P candidates in fixed-size chunks.  Small batches (P=1..2
     re-checks) are PADDED UP to the same chunk shape the search batches use:
     one executable per point bucket instead of one per batch size (remote
     compiles cost ~a minute each on this backend)."""
     outs = []
     P = deforms.shape[0]
-    chunk = _auto_chunk(kw["coords"].shape[0], chunk_cap)
+    n = kw["coords"].shape[0]
+    cost = n if approx else 7 * n
+    if fn is None:
+        fn = _batch_deform_visible_iou
+    else:
+        # penalized objective: neighbor planes add ~(Q * H/2 * W/2) bool work
+        nbq = kw["nb_zb"]
+        cost += (nbq.shape[0] * nbq.shape[1] * nbq.shape[2]) // 4
+    kw["approx"] = approx
+    chunk = _auto_chunk(cost, chunk_cap)
     pad = (-P) % chunk
     d = np.concatenate([deforms, np.tile(IDENTITY_DEFORM, (pad, 1))]) if pad else deforms
     for i in range(0, len(d), chunk):
-        outs.append(
-            np.asarray(_batch_deform_visible_iou(jnp.asarray(d[i : i + chunk]), **kw))
-        )
+        outs.append(np.asarray(fn(jnp.asarray(d[i : i + chunk]), **kw)))
     return np.concatenate(outs)[:P]
 
 
@@ -205,8 +287,8 @@ def optimize_part_deform(
     rest_zbuf: Optional[np.ndarray] = None,
     search_stride: int = 8,
     surface_stride: int = 2,
-    scale_range: Tuple[float, float, int] = (0.8, 1.2, 7),
-    shift_range: Tuple[float, float, int] = (-60.0, 60.0, 9),
+    scale_range: Tuple[float, float, int] = (0.5, 2.0, 11),
+    shift_range: Tuple[float, float, int] = (-100.0, 100.0, 9),
     refine_steps: int = 3,
     chunk: int = 64,
     mode: str = "separable",
@@ -214,29 +296,36 @@ def optimize_part_deform(
     _surface_points=None,
     _device_full=None,
     _zb_identity=None,
+    _nb=None,
 ) -> Tuple[np.ndarray, float]:
     """Best (scale_y, shift_y, scale_xz, shift_xz) for one part + its IoU.
 
     The objective is the notebook-4 visibility-aware binary IoU of the part
-    (mask == part id vs z-visible deformed points).  ``rest_zbuf`` is the
-    (H, W) min-Z buffer of every OTHER part (defaults to no occluders).
+    (mask == part id vs z-visible deformed points), minus (when ``_nb`` is
+    given) the hinge penalty for pushing neighbor parts below their
+    all-identity IoU floors (see ``_batch_deform_visible_iou_penalized``).
+    ``rest_zbuf`` is the (H, W) min-Z buffer of every OTHER part (defaults
+    to no occluders).
 
-    Candidates are evaluated on the part's 6-connected SURFACE shell strided
-    by ``surface_stride`` — the z-buffer of a solid is (to pixel-rounding)
-    the z-buffer of its shell, and the shell is ~an order of magnitude
-    smaller, so whole populations fit one dispatch.  The warp pivots on the
-    FULL set's centroid (passed explicitly), so a deform vector means the
-    same thing on the shell as on the solid.  Without a shell
-    (``_surface_points=None`` and no grid) the solid strided by
-    ``search_stride`` is used (reference project_fast).  The returned IoU
-    and the accept-vs-identity check always use the full point set.
+    The default ranges cover the reference's full slider space (scale
+    0.5–2.0, shift ±100; deformation_estimation.py:21-25 — the human
+    goldens use scale_y up to ~1.4, outside the old ±20% window).
 
-    ``mode="separable"`` (default) searches the (scale_y, shift_y) pair
-    first (xz identity), then (scale_xz, shift_xz) given the best y, then a
-    joint local refinement — ~20x fewer objective evaluations than the full
-    4-D cross product (``mode="full"``), with matching quality on the
-    reference scenes because the y and xz DoFs act on near-orthogonal image
-    directions.
+    Search schedule (coarse→exact, all candidates vmapped on device):
+
+    1. separable coarse pass over (scale_y, shift_y) then (scale_xz,
+       shift_xz), on the part's surface shell strided 2x wider than
+       ``surface_stride`` with the APPROX warp (no 7-jitter, float coords)
+       — ~28x less point work per candidate than the exact path;
+    2. local refinement round at ±half a coarse step, shell at
+       ``surface_stride``, approx warp;
+    3. exact refinement round at ±a sixth of a coarse step, shell at
+       ``surface_stride``, full 7-jitter + integer rounding;
+    4. full-set acceptance: the winner is re-scored on the COMPLETE point
+       set with the exact warp and kept only if it beats identity on the
+       penalized objective.
+
+    ``mode="full"`` replaces step 1 with the full 4-D cross product.
     """
     pid = config.PART_IDS[part]
     pts = _points if _points is not None else points_by_parts(grid_labels, [part])[0]
@@ -259,11 +348,14 @@ def optimize_part_deform(
     if shell is None:
         shell = surface_points_by_parts(grid_labels, [part])[0]
     if len(shell):
-        sub = shell[::surface_stride]
+        sub_fine = shell[::surface_stride]
+        sub_coarse = shell[:: 2 * surface_stride]
     else:  # degenerate: every voxel interior-labeled (cannot happen for >0 pts)
-        sub = pts[::search_stride]
+        sub_fine = pts[::search_stride]
+        sub_coarse = pts[:: 2 * search_stride]
     center = jnp.asarray(pts.mean(axis=0), jnp.float32)  # FULL-set centroid
-    p_s, v_s = pad_points_i16(sub, bucket_size(len(sub)))
+    p_sc, v_sc = pad_points_i16(sub_coarse, bucket_size(len(sub_coarse)))
+    p_s, v_s = pad_points_i16(sub_fine, bucket_size(len(sub_fine)))
     if _device_full is not None:
         p_f, v_f = _device_full  # device-resident: skip the big re-upload
     else:
@@ -274,18 +366,30 @@ def optimize_part_deform(
     true_hw = jnp.asarray([H, W], jnp.int32)
     vs = jnp.asarray(voxel_shape, jnp.int32)
 
-    def ev(deforms, pp, vv):
+    if _nb is not None:
+        nb_kw = dict(
+            fn=_batch_deform_visible_iou_penalized,
+            nb_zb=jnp.asarray(_nb["zb"]), nb_base=jnp.asarray(_nb["base"]),
+            nb_gt=jnp.asarray(_nb["gt"]), nb_floor=jnp.asarray(_nb["floor"]),
+            nb_valid=jnp.asarray(_nb["valid"]),
+        )
+    else:
+        nb_kw = {}
+
+    def ev(deforms, pp, vv, approx):
         return _eval_chunked(
-            np.asarray(deforms, np.float32), chunk,
+            np.asarray(deforms, np.float32), chunk, approx=approx,
             coords=jnp.asarray(pp), valid=jnp.asarray(vv), cam_vec=cam_vec,
             gt_part=gt, rest_zbuf=rest_j, true_hw=true_hw,
-            voxel_shape=vs, center=center, H=Hp, W=Wp,
+            voxel_shape=vs, center=center, H=Hp, W=Wp, **nb_kw,
         )
 
     s0, s1, ns = scale_range
     d0, d1, nd = shift_range
     scales = np.linspace(s0, s1, ns)
     shifts = np.linspace(d0, d1, nd)
+    scale_step = (s1 - s0) / max(ns - 1, 1)
+    shift_step = (d1 - d0) / max(nd - 1, 1)
 
     if mode == "full":
         coarse = np.array(
@@ -295,7 +399,7 @@ def optimize_part_deform(
         )
         # Always include identity so we can never regress below it.
         coarse = np.concatenate([IDENTITY_DEFORM[None], coarse])
-        ious = ev(coarse, p_s, v_s)
+        ious = ev(coarse, p_sc, v_sc, True)
         best = coarse[int(np.argmax(ious))]
     else:
         # stage A: (scale_y, shift_y) with xz identity
@@ -304,7 +408,7 @@ def optimize_part_deform(
             np.float32,
         )
         ca = np.concatenate([IDENTITY_DEFORM[None], ca])
-        best = ca[int(np.argmax(ev(ca, p_s, v_s)))]
+        best = ca[int(np.argmax(ev(ca, p_sc, v_sc, True)))]
         # stage B: (scale_xz, shift_xz) given the best y
         cb = np.array(
             [(best[0], best[1], sxz, dxz)
@@ -312,28 +416,32 @@ def optimize_part_deform(
             np.float32,
         )
         cb = np.concatenate([best[None], cb])
-        best = cb[int(np.argmax(ev(cb, p_s, v_s)))]
+        best = cb[int(np.argmax(ev(cb, p_sc, v_sc, True)))]
 
-    # local refinement around the coarse optimum
-    rs = np.linspace(-0.05, 0.05, refine_steps)
-    rd = np.linspace(-10.0, 10.0, refine_steps)
-    fine = np.array(
-        [best + np.array([a, b, c, d], np.float32)
-         for a, c, b, d in itertools.product(rs, rs, rd, rd)],
-        np.float32,
-    )
-    fine = np.concatenate([best[None], fine])
-    ious = ev(fine, p_s, v_s)
-    best = fine[int(np.argmax(ious))]
+    # local refinement rounds around the coarse optimum: approx at +-step/2,
+    # then exact (7-jitter + rounding) at +-step/6
+    for span_s, span_d, approx in (
+        (scale_step / 2, shift_step / 2, True),
+        (scale_step / 6, shift_step / 6, False),
+    ):
+        rs = np.linspace(-span_s, span_s, refine_steps)
+        rd = np.linspace(-span_d, span_d, refine_steps)
+        fine = np.array(
+            [best + np.array([a, b, c, d], np.float32)
+             for a, c, b, d in itertools.product(rs, rs, rd, rd)],
+            np.float32,
+        )
+        fine = np.concatenate([best[None], fine])
+        ious = ev(fine, p_s, v_s, approx)
+        best = fine[int(np.argmax(ious))]
 
     # full-set comparison: accept the searched deform only if it beats
-    # identity on the full point set too (strided search can overfit).
-    # Full-set IoUs come from single-deform z-buffers + image math rather
-    # than the 64-wide candidate program (64x less point work).
-    zb_best = deformed_zbuffer(
+    # identity on the full point set too (strided search can overfit), on
+    # the SAME penalized objective the search optimized.
+    zb_best = np.asarray(deformed_zbuffer(
         jnp.asarray(best), jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
         true_hw, vs, center, Hp, Wp,
-    )
+    ))
     if _zb_identity is not None:
         zb_id = _zb_identity  # already maintained by refine_parts
     else:
@@ -341,11 +449,36 @@ def optimize_part_deform(
             jnp.asarray(IDENTITY_DEFORM), jnp.asarray(p_f), jnp.asarray(v_f),
             cam_vec, true_hw, vs, center, Hp, Wp,
         ))
-    iou_best = _visible_iou_from_zb(np.asarray(zb_best), rest, gt_p)
-    iou_id = _visible_iou_from_zb(np.asarray(zb_id), rest, gt_p)
-    if iou_best <= iou_id:
+    iou_best = _visible_iou_from_zb(zb_best, rest, gt_p)
+    iou_id = _visible_iou_from_zb(zb_id, rest, gt_p)
+    score_best, score_id = iou_best, iou_id
+    if _nb is not None:
+        score_best = iou_best - _nb_drop_penalty(_nb, zb_best)
+        score_id = iou_id - _nb_drop_penalty(_nb, zb_id)
+    if score_best <= score_id:
         return IDENTITY_DEFORM.copy(), float(iou_id)
     return np.asarray(best, np.float32), float(iou_best)
+
+
+def _min_pool2(z: np.ndarray) -> np.ndarray:
+    H, W = z.shape
+    return z.reshape(H // 2, 2, W // 2, 2).min(axis=(1, 3))
+
+
+def _max_pool2(z: np.ndarray) -> np.ndarray:
+    H, W = z.shape
+    return z.reshape(H // 2, 2, W // 2, 2).max(axis=(1, 3))
+
+
+def _nb_drop_penalty(nb: Dict, zb_part: np.ndarray) -> float:
+    """Host-side mirror of the jitted neighbor hinge, for accept checks."""
+    zc2 = _min_pool2(np.asarray(zb_part))
+    vis = nb["base"] & (nb["zb"] < zc2[None] + VIS_EPS)
+    inter = np.sum(vis & nb["gt"], axis=(1, 2)).astype(np.float64)
+    union = np.sum(vis | nb["gt"], axis=(1, 2)).astype(np.float64)
+    iou = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+    drop = np.where(nb["valid"], np.maximum(nb["floor"] - iou, 0.0), 0.0)
+    return float(NEIGHBOR_PENALTY * drop.sum())
 
 
 def _visible_iou_from_zb(
@@ -448,6 +581,55 @@ def refine_parts(
         g[:H, :W] = gt_full == config.PART_IDS[p]
         return g
 
+    # Init-state floors: every part's visible IoU with the WHOLE grid at
+    # identity — the notebook-4 "init" column each deformed cell is judged
+    # against (eval_helpers_intra.py:560-748).
+    floor_full: Dict[str, float] = {}
+    floor_half: Dict[str, float] = {}
+    zb2_identity = {p: _min_pool2(zb_identity[p]) for p in parts}
+    gt2 = {p: _max_pool2(_gt_plane(p)) for p in parts}
+    for p in parts:
+        others = [zb_identity[q] for q in parts if q != p]
+        rest_i = (np.minimum.reduce(others) if others
+                  else np.full((Hp, Wp), np.inf, np.float32))
+        floor_full[p] = _visible_iou_from_zb(zb_identity[p], rest_i, _gt_plane(p))
+        others2 = [zb2_identity[q] for q in parts if q != p]
+        rest2 = (np.minimum.reduce(others2) if others2
+                 else np.full((Hp // 2, Wp // 2), np.inf, np.float32))
+        vis2 = zb2_identity[p] < rest2 + VIS_EPS
+        u2 = np.logical_or(vis2, gt2[p]).sum()
+        floor_half[p] = float(np.logical_and(vis2, gt2[p]).sum() / u2) if u2 else 0.0
+
+    NB_Q = 8  # fixed neighbor-axis padding: one compiled program for all parts
+
+    def nb_bundle(p: str) -> Optional[Dict]:
+        """Half-res neighbor z-buffers/GT/floors for the hinge penalty."""
+        others = [q for q in parts if q != p]
+        if not others or len(others) > NB_Q:
+            return None
+        h2, w2 = Hp // 2, Wp // 2
+        zb2 = {q: _min_pool2(zbs[q]) for q in others}
+        nb = {
+            "zb": np.full((NB_Q, h2, w2), np.inf, np.float32),
+            "base": np.zeros((NB_Q, h2, w2), bool),
+            "gt": np.zeros((NB_Q, h2, w2), bool),
+            "floor": np.zeros((NB_Q,), np.float32),
+            "valid": np.zeros((NB_Q,), bool),
+        }
+        Z = np.stack([zb2[q] for q in others])  # (Q, h2, w2)
+        s = np.sort(Z, axis=0)
+        m1 = s[0]
+        m2 = s[1] if len(others) > 1 else np.full_like(m1, np.inf)
+        for i, q in enumerate(others):
+            # min over the others excluding q (ties make m2 == m1, correct)
+            rest_excl = np.where(Z[i] == m1, m2, m1)
+            nb["zb"][i] = Z[i]
+            nb["base"][i] = Z[i] < rest_excl + VIS_EPS
+            nb["gt"][i] = gt2[q]
+            nb["floor"][i] = floor_half[q]
+            nb["valid"][i] = True
+        return nb
+
     # largest parts first: their z-surfaces dominate everyone's occlusion
     searched = [
         p for p in sorted(parts, key=lambda q: -padded_sets[q][2])
@@ -461,6 +643,7 @@ def refine_parts(
             _surface_points=cache.surface_points_by_parts([p])[0],
             _device_full=padded_sets[p][:2],
             _zb_identity=zb_identity[p],
+            _nb=nb_bundle(p),
             **kw,
         )
         if not np.array_equal(deform, state[p]):
@@ -468,24 +651,48 @@ def refine_parts(
             zbs[p] = zb_at(p, deform)
 
     if verify:
-        # pure image math over the maintained per-part z-buffers: revert any
-        # deform that regresses vs identity under the FINAL occlusion state
-        for _ in range(3):
-            regressed = []
-            for p in searched:
-                if np.array_equal(state[p], IDENTITY_DEFORM):
+        # Init-anchored verify (pure image math over the maintained per-part
+        # z-buffers): no part's visible IoU under the FINAL occlusion state
+        # may fall below its all-identity floor — the notebook-4 acceptance
+        # criterion (a deformed cell must not regress vs the init column).
+        # A regressed part that is itself deformed is reverted; a regressed
+        # part at identity was occluded by a NEIGHBOR's deform — revert the
+        # offender whose removal recovers it most.
+        def cur_iou(p):
+            return _visible_iou_from_zb(zbs[p], rest_zb(p), _gt_plane(p))
+
+        for _ in range(2 * len(parts)):
+            reverted = False
+            for p in parts:
+                if p in overrides:
+                    continue  # human-forced deforms are not second-guessed
+                if cur_iou(p) + 1e-6 >= floor_full[p]:
                     continue
-                rest = rest_zb(p)
-                gt = _gt_plane(p)
-                cur = _visible_iou_from_zb(zbs[p], rest, gt)
-                ident = _visible_iou_from_zb(zb_identity[p], rest, gt)
-                if cur + 1e-6 < ident:
-                    regressed.append(p)
-            if not regressed:
+                if not np.array_equal(state[p], IDENTITY_DEFORM):
+                    state[p] = IDENTITY_DEFORM.copy()
+                    zbs[p] = zb_identity[p]
+                    reverted = True
+                    continue
+                # p is identity but regressed: find the deformed neighbor
+                # whose revert recovers p the most
+                offenders = [
+                    q for q in searched
+                    if q != p and not np.array_equal(state[q], IDENTITY_DEFORM)
+                ]
+                best_q, best_gain = None, -np.inf
+                for q in offenders:
+                    saved = zbs[q]
+                    zbs[q] = zb_identity[q]
+                    gain = cur_iou(p)
+                    zbs[q] = saved
+                    if gain > best_gain:
+                        best_q, best_gain = q, gain
+                if best_q is not None and best_gain > cur_iou(p) + 1e-6:
+                    state[best_q] = IDENTITY_DEFORM.copy()
+                    zbs[best_q] = zb_identity[best_q]
+                    reverted = True
+            if not reverted:
                 break
-            for p in regressed:
-                state[p] = IDENTITY_DEFORM.copy()
-                zbs[p] = zb_identity[p]
 
     out = {}
     for p in parts:

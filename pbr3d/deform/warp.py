@@ -45,6 +45,7 @@ def deform_coords(
     voxel_shape,  # (3,) ints or traced int32 array: (D, H, W)
     deform: jax.Array,  # (4,): scale_y, shift_y, scale_xz, shift_xz
     center: jax.Array | None = None,  # (3,) f32: the part centroid
+    approx: bool = False,  # static: skip the 7-jitter + int rounding
 ) -> Tuple[jax.Array, jax.Array]:
     """Warp a padded point set; returns (coords_int (7N, 3) int32, valid (7N,)).
 
@@ -60,6 +61,14 @@ def deform_coords(
     ``coords`` may be int16 (voxel coordinates fit; host->device transfer
     over the remote tunnel is the stage-3 bottleneck at 512 scale and int16
     halves it) — cast to float32 here, on device.
+
+    With ``approx=True`` (a static flag) the warped FLOAT coords are
+    returned without the 7-jitter replication or integer rounding — (N, 3)
+    instead of (7N, 3), 7x less downstream point work.  The jitter exists
+    to fill resampling holes in the voxel scatter (reference :84-98); a
+    z-buffer/silhouette of the un-jittered float set differs only by
+    sub-voxel edge pixels, which is plenty for COARSE search phases (the
+    refinement and acceptance passes use the exact path).
     """
     coords = coords.astype(jnp.float32)
     image_hw = jnp.asarray(image_hw, jnp.float32)
@@ -87,6 +96,13 @@ def deform_coords(
     y = c[:, 1] * scale_y - shift_y * py
     z = c[:, 2] * scale_xz + shift_xz * pz * jnp.sign(c[:, 2])
     warped = jnp.stack([x, y, z], axis=-1) + center  # (N, 3)
+    if approx:
+        inb = (
+            (warped[:, 0] >= -0.5) & (warped[:, 0] < W - 0.5)
+            & (warped[:, 1] >= -0.5) & (warped[:, 1] < H - 0.5)
+            & (warped[:, 2] >= -0.5) & (warped[:, 2] < D - 0.5)
+        )
+        return warped, valid & inb
     out = warped[None, :, :] + jnp.asarray(_JITTER)[:, None, :]  # (7, N, 3)
     out = jnp.round(out).astype(jnp.int32).reshape(-1, 3)
 

@@ -144,6 +144,7 @@ def run_stage3(
     pad: Optional[int] = None,
     part_names: Optional[Sequence[str]] = None,
     overrides: Optional[Dict | str | Path] = None,
+    exact_verify: bool = True,
     **search_kw,
 ):
     """Part-wise 3D refinement (notebook 3) under the fixed front camera.
@@ -151,7 +152,12 @@ def run_stage3(
     ``overrides`` — optional {part: {scale_y, shift_y, scale_xz, shift_xz}}
     dict or path to such a JSON: those parts take the given deform verbatim
     instead of being searched (the escape hatch replacing the reference's
-    human slider session, deformation_estimation.py:15-356)."""
+    human slider session, deformation_estimation.py:15-356).
+
+    ``exact_verify`` re-checks the accepted deforms through the ACTUAL
+    notebook-4 computation (rebuilt grid, rounded-resize mask) and reverts
+    offenders until no init→deformed cell regresses
+    (:mod:`pbr3d.deform.verify`)."""
     if isinstance(overrides, (str, Path)):
         import json
 
@@ -182,13 +188,30 @@ def run_stage3(
         pts, _ = cache.points_by_parts([part])
         p, v = pad_points_i16(pts, bucket_size(len(pts)))
         part_points[part] = (p, v)
-    deform_vecs = {
-        p: np.array(
-            [d["deform"]["scale_y"], d["deform"]["shift_y"],
-             d["deform"]["scale_xz"], d["deform"]["shift_xz"]], np.float32)
-        for p, d in deforms.items()
-    }
-    deformed = build_deformed_grid(grid_labels, part_points, deform_vecs, mask.shape[:2])
+    def build_fn(deform_vecs):
+        return build_deformed_grid(
+            grid_labels, part_points, deform_vecs, mask.shape[:2]
+        )
+
+    if exact_verify:
+        from pbr3d.deform.verify import enforce_no_regression
+        from pbr3d.eval.intra import _load_mask_labels_for_grid
+
+        mask_nb4 = _load_mask_labels_for_grid(
+            data_root, monument, "front", grid_labels.shape
+        )
+        deforms, deformed = enforce_no_regression(
+            grid_labels, deforms, mask_nb4, cam_final_front, build_fn,
+            cache_init=cache,
+        )
+    else:
+        deform_vecs = {
+            p: np.array(
+                [d["deform"]["scale_y"], d["deform"]["shift_y"],
+                 d["deform"]["scale_xz"], d["deform"]["shift_xz"]], np.float32)
+            for p, d in deforms.items()
+        }
+        deformed = build_fn(deform_vecs)
     if out_dir is not None:
         base = Path(out_dir) / "3.Part-wise_3D_Refinement"
         save_voxel_grid(base / f"{monument}_deformed_voxel_grid.npz", deformed)

@@ -195,3 +195,132 @@ def test_refine_parts_pins_minarets_and_applies_overrides():
     for k, val in forced.items():
         assert out["dome"]["deform"][k] == pytest.approx(val)
     assert 0.0 <= out["dome"]["iou"] <= 1.0
+
+
+def test_deform_coords_approx_matches_exact_zbuffer():
+    """The approx (float, no-jitter) warp must track the exact warp's
+    geometry: warped float coords round to a subset of the exact output."""
+    rng = np.random.default_rng(1)
+    coords = rng.uniform(2, 28, (200, 3)).astype(np.float32)
+    d = jnp.asarray([1.2, -5.0, 0.9, 3.0], jnp.float32)
+    exact, v_e = deform_coords(
+        jnp.asarray(coords), jnp.ones(200, bool), (40, 40), (32, 32, 32), d
+    )
+    approx, v_a = deform_coords(
+        jnp.asarray(coords), jnp.ones(200, bool), (40, 40), (32, 32, 32), d,
+        approx=True,
+    )
+    assert approx.shape == (200, 3) and approx.dtype == jnp.float32
+    exact_set = set(map(tuple, np.asarray(exact)[np.asarray(v_e)]))
+    rounded = np.round(np.asarray(approx)[np.asarray(v_a)]).astype(int)
+    assert set(map(tuple, rounded)) <= exact_set
+
+
+def test_penalized_objective_guards_neighbors():
+    """A candidate that occludes a neighbor below its floor must score worse
+    than one that does not, even if its own IoU is slightly higher."""
+    from pbr3d.camera.geometry import params_to_vector
+    from pbr3d.carving.voxel import bucket_size, pad_points
+    from pbr3d.deform.search import (
+        IDENTITY_DEFORM, _batch_deform_visible_iou_penalized,
+    )
+
+    size = 32
+    pid = config.PART_IDS["dome"]
+    grid = np.zeros((size, size, size), np.uint8)
+    grid[16:20, 10:20, 10:20] = pid
+    d0, d1, d2 = np.where(grid == pid)
+    pts = np.stack([d2, d1, d0], 1).astype(np.float32)
+    p, _, v = pad_points(pts, np.zeros(len(pts), np.uint8), bucket_size(len(pts)))
+    cam = _simple_cam(size)
+    H = W = size
+    Hp = Wp = 128
+    gt = np.zeros((Hp, Wp), bool)
+    gt[12:20, 12:20] = True
+
+    # one neighbor whose z-buffer sits just BEHIND the part and whose floor
+    # is 1.0: any deform keeping the part in front of it drops it to 0
+    Q = 8
+    h2, w2 = Hp // 2, Wp // 2
+    nb_zb = np.full((Q, h2, w2), np.inf, np.float32)
+    nb_base = np.zeros((Q, h2, w2), bool)
+    nb_gt = np.zeros((Q, h2, w2), bool)
+    nb_floor = np.zeros((Q,), np.float32)
+    nb_valid = np.zeros((Q,), bool)
+    nb_zb[0] = 1e9  # far behind: always blocked by the part
+    nb_base[0, :16, :16] = True
+    nb_gt[0, :16, :16] = True
+    nb_floor[0] = 1.0
+    nb_valid[0] = True
+
+    kw = dict(
+        coords=jnp.asarray(p), valid=jnp.asarray(v),
+        cam_vec=params_to_vector(cam), gt_part=jnp.asarray(gt),
+        rest_zbuf=jnp.asarray(np.full((Hp, Wp), np.inf, np.float32)),
+        true_hw=jnp.asarray([H, W], np.int32),
+        voxel_shape=jnp.asarray([size, size, size], np.int32),
+        center=jnp.asarray(pts.mean(axis=0), jnp.float32),
+        nb_zb=jnp.asarray(nb_zb), nb_base=jnp.asarray(nb_base),
+        nb_gt=jnp.asarray(nb_gt), nb_floor=jnp.asarray(nb_floor),
+        nb_valid=jnp.asarray(nb_valid), H=Hp, W=Wp,
+    )
+    scored = float(_batch_deform_visible_iou_penalized(
+        jnp.asarray(IDENTITY_DEFORM)[None], **kw)[0])
+    # with no valid neighbors the penalty vanishes
+    kw2 = dict(kw, nb_valid=jnp.asarray(np.zeros((Q,), bool)))
+    plain = float(_batch_deform_visible_iou_penalized(
+        jnp.asarray(IDENTITY_DEFORM)[None], **kw2)[0])
+    assert plain > 0.3
+    # the hinge fired: the occluded neighbor (floor 1.0) costs 3x its drop
+    assert scored < plain - 0.05
+
+
+def test_enforce_no_regression_reverts_offender():
+    """A forced bad deform on one part that collapses a neighbor's nb4 cell
+    must be reverted by the exact verify loop."""
+    from pbr3d.deform.search import IDENTITY_DEFORM
+    from pbr3d.deform.verify import enforce_no_regression, nb4_exact_cells
+    from pbr3d.deform.warp import build_deformed_grid
+
+    size = 48
+    grid = np.zeros((size, size, size), np.uint8)
+    did = config.PART_IDS["dome"]
+    wid = config.PART_IDS["windows"]
+    # windows strip in FRONT (small z), dome behind it; the dome is deep
+    # enough that a large xz scale pushes its near face in front of the
+    # windows strip
+    grid[4:8, 10:30, 10:30] = wid
+    grid[9:31, 10:30, 10:30] = did
+    mask = np.zeros((size, size), np.uint8)
+    mask[10:30, 10:30] = wid  # GT: windows own the square
+    cam = _simple_cam(size)
+
+    def pts_of(part):
+        d0, d1, d2 = np.where(grid == config.PART_IDS[part])
+        return np.stack([d2, d1, d0], 1).astype(np.float32)
+
+    part_points = {
+        p: (pts_of(p), np.ones(len(pts_of(p)), bool)) for p in ("dome", "windows")
+    }
+
+    def build_fn(vecs):
+        return build_deformed_grid(grid, part_points, vecs, (size, size))
+
+    # force the dome forward/up so it occludes the windows (z shift is not a
+    # DoF, so scale it hugely: its shell reaches in front of the windows)
+    deforms = {
+        "dome": {"deform": {"scale_y": 1.0, "shift_y": 0.0,
+                            "scale_xz": 3.0, "shift_xz": 0.0}, "iou": 0.9},
+        "windows": {"deform": {"scale_y": 1.0, "shift_y": 0.0,
+                               "scale_xz": 1.0, "shift_xz": 0.0}, "iou": 0.9},
+    }
+    before = nb4_exact_cells(grid, build_fn({
+        "dome": np.array([1, 0, 3.0, 0], np.float32),
+        "windows": IDENTITY_DEFORM,
+    }), mask, cam)
+    assert before["windows"][1] + 1e-6 < before["windows"][0]  # setup sanity
+
+    out, grid_def = enforce_no_regression(grid, deforms, mask, cam, build_fn)
+    assert out["dome"]["deform"]["scale_xz"] == 1.0  # offender reverted
+    after = nb4_exact_cells(grid, grid_def, mask, cam)
+    assert after["windows"][1] + 1e-6 >= after["windows"][0]
