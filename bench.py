@@ -164,13 +164,11 @@ def main():
         if iou1 is not None:
             s1_ious[m] = round(float(iou1), 4)
         s3_ious[m] = round(float(_stage3_whole_iou(m, r)), 4)
-        s3_part_ious[m] = round(
-            float(
-                sum(d["iou"] for d in r.deform_params.values())
-                / max(len(r.deform_params), 1)
-            ),
-            4,
-        )
+        # mean over parts PRESENT in the mask (notebook 4 prints "--" for
+        # parts with empty GT; their IoU is structurally 0)
+        scored = [d["iou"] for d in r.deform_params.values()
+                  if d.get("gt_px", 1) > 0]
+        s3_part_ious[m] = round(float(sum(scored) / max(len(scored), 1)), 4)
     quality = {
         m: {
             "stage1_iou_vs_golden": s1_ious.get(m),

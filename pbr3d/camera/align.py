@@ -67,14 +67,7 @@ def _batch_iou(cam_vecs, pts, labels, valid, gt_labels, part_ids, true_hw,
                            true_hw, H, W)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "H", "W", "generations", "population", "cd_rounds", "lock_xy_equal",
-        "pop_chunk",
-    ),
-)
-def _search_device(
+def _search_impl(
     seed: jax.Array,  # scalar int32
     init_vec: jax.Array,  # (9,) f32
     pts, labels, valid, gt_labels, part_ids, true_hw,
@@ -151,12 +144,197 @@ def _search_device(
     return best, biou
 
 
-def _pad_plane(mask_labels: np.ndarray):
+_search_device = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "generations", "population", "cd_rounds", "lock_xy_equal",
+        "pop_chunk",
+    ),
+)(_search_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "generations", "population", "cd_rounds", "lock_xy_equal",
+        "pop_chunk",
+    ),
+)
+def _search_device_multi(
+    seeds: jax.Array,  # (V,) int32
+    init_vecs: jax.Array,  # (V, 9)
+    pts,  # (V, N, 3)
+    labels,  # (V, N)
+    valid,  # (V, N)
+    gt_labels,  # (V, Hp, Wp)
+    part_ids,  # (K,) — shared across views
+    true_hw,  # (V, 2)
+    H: int, W: int,
+    generations: int, population: int, cd_rounds: int,
+    lock_xy_equal: bool, pop_chunk: int,
+):
+    """All V views' searches in ONE program (SURVEY §7 M6 for stage 2):
+    views padded to a common point bucket and plane bucket, vmapped over the
+    view axis — one dispatch and one executable per (plane, point) bucket
+    pair instead of one per view."""
+    return jax.vmap(
+        lambda s, x, p, l, v, g, t: _search_impl(
+            s, x, p, l, v, g, part_ids, t, H, W,
+            generations, population, cd_rounds, lock_xy_equal, pop_chunk,
+        )
+    )(seeds, init_vecs, pts, labels, valid, gt_labels, true_hw)
+
+
+def _pad_plane(mask_labels: np.ndarray, to_hw: Tuple[int, int] | None = None):
     H, W = mask_labels.shape[:2]
-    Hp, Wp = (-(-x // 128) * 128 for x in (H, W))
+    if to_hw is None:
+        Hp, Wp = (-(-x // 128) * 128 for x in (H, W))
+    else:
+        Hp, Wp = to_hw
     out = np.zeros((Hp, Wp), mask_labels.dtype)
     out[:H, :W] = mask_labels
     return out, (Hp, Wp)
+
+
+def refine_cameras_batched(
+    jobs: Dict,
+    *,
+    generations: int = 40,
+    population: int = 64,
+    cd_rounds: int = 6,
+    seed: int = 0,
+    lock_xy_equal: bool = False,
+    coarse_stride: int = 2,
+) -> Dict:
+    """All views' mask-IoU camera refinements with cross-view batching.
+
+    ``jobs``: key -> dict(grid_labels=..., mask_labels=..., parts=[...],
+    init_params=..., points=optional precomputed (pts, labels) shell).
+    Returns key -> (params, best_iou) like :func:`refine_camera_mask_iou`.
+
+    Structure (SURVEY §7 M6 applied to stage 2):
+
+    1. per view, choose a coarse factor s ∈ {1, 2, 4} so the search plane
+       stays ≤ ~160k px (candidate cost is linear in plane pixels — scaling
+       probe in scripts/probe_objective_scaling.py);
+    2. pad every view's strided shell to ONE shared point bucket and group
+       views by coarse-plane bucket; run each group's ENTIRE random search
+       as one vmapped device program (``_search_device_multi``) — one
+       dispatch per group instead of one per view;
+    3. enqueue every view's native-resolution coordinate-descent polish
+       (full shell, generations=0) back-to-back WITHOUT blocking between
+       them — the device pipeline hides the per-dispatch tunnel latency —
+       then collect.
+    """
+    keys = list(jobs)
+    prep = {}
+    for k in keys:
+        j = jobs[k]
+        mask = np.asarray(j["mask_labels"])
+        H, W = mask.shape[:2]
+        if j.get("points") is not None:
+            pts, labels = j["points"]
+        else:
+            pts, labels = surface_points_by_parts(j["grid_labels"], j["parts"])
+        sel = mask_labels_selected(mask, j["parts"])
+        s = 1
+        while (H // s) * (W // s) > 160_000 and s < 4:
+            s *= 2
+        init = dict(j["init_params"])
+        for f in ("f", "cx", "cy"):
+            init[f] = float(init[f]) / s
+        prep[k] = dict(
+            pts=pts, labels=labels, sel=sel, s=s, H=H, W=W,
+            coarse_mask=sel[::s, ::s], init=init,
+            part_ids=np.asarray(config.part_ids(j["parts"])),
+        )
+
+    # ---- phase 1: grouped coarse random search ----
+    B = max(bucket_size(len(p["pts"][::coarse_stride])) for p in prep.values())
+    groups: Dict[Tuple[int, int], list] = {}
+    for k in keys:
+        cm = prep[k]["coarse_mask"]
+        hw = tuple(-(-x // 128) * 128 for x in cm.shape[:2])
+        groups.setdefault(hw, []).append(k)
+
+    coarse_best: Dict = {}
+    pending = []
+    for (Hp, Wp), gkeys in groups.items():
+        V = len(gkeys)
+        pts_b = np.zeros((V, B, 3), np.float32)
+        lab_b = np.zeros((V, B), np.uint8)
+        val_b = np.zeros((V, B), bool)
+        gt_b = np.zeros((V, Hp, Wp), np.uint8)
+        thw_b = np.zeros((V, 2), np.int32)
+        iv_b = np.zeros((V, 9), np.float32)
+        for i, k in enumerate(gkeys):
+            p = prep[k]
+            sub = p["pts"][::coarse_stride]
+            lab = p["labels"][::coarse_stride]
+            pts_b[i, : len(sub)] = sub
+            lab_b[i, : len(sub)] = lab
+            val_b[i, : len(sub)] = True
+            cm = p["coarse_mask"]
+            gt_b[i, : cm.shape[0], : cm.shape[1]] = cm
+            thw_b[i] = cm.shape[:2]
+            iv_b[i] = params_to_vector(p["init"])
+        pop_chunk = max(1, min(population, (1 << 26) // max(1, B * V)))
+        pop_chunk = 1 << (pop_chunk.bit_length() - 1)
+        pop = max(pop_chunk, (population // pop_chunk) * pop_chunk)
+        out = _search_device_multi(
+            jnp.full((V,), seed, jnp.int32),
+            jnp.asarray(iv_b), jnp.asarray(pts_b), jnp.asarray(lab_b),
+            jnp.asarray(val_b), jnp.asarray(gt_b),
+            jnp.asarray(prep[gkeys[0]]["part_ids"]),
+            jnp.asarray(thw_b),
+            Hp, Wp, generations, pop, 0, lock_xy_equal, pop_chunk,
+        )
+        pending.append((gkeys, out))
+    # collect (blocks; all groups were already enqueued)
+    for gkeys, (best, _) in pending:
+        best = np.asarray(best, np.float64)
+        for i, k in enumerate(gkeys):
+            s = prep[k]["s"]
+            vec = best[i].copy()
+            vec[6:9] *= s  # f, cx, cy back to native pixels
+            coarse_best[k] = vec
+
+    # ---- phase 2: native-resolution CD polish, all enqueued async ----
+    results = {}
+    polish = []
+    for k in keys:
+        p = prep[k]
+        pp, ll, vv = pad_points(p["pts"], p["labels"], bucket_size(len(p["pts"])))
+        gt_p, (Hp, Wp) = _pad_plane(p["sel"])
+        pop_chunk = max(1, min(population, (1 << 26) // max(1, pp.shape[0])))
+        pop_chunk = 1 << (pop_chunk.bit_length() - 1)
+        out = _search_device(
+            jnp.int32(seed),
+            jnp.asarray(coarse_best[k], jnp.float32),
+            jnp.asarray(pp), jnp.asarray(ll), jnp.asarray(vv),
+            jnp.asarray(gt_p),
+            jnp.asarray(p["part_ids"]),
+            jnp.asarray([p["H"], p["W"]], jnp.int32),
+            Hp, Wp, 0, pop_chunk, cd_rounds, lock_xy_equal, pop_chunk,
+        )
+        polish.append((k, out))
+    for k, (best, biou) in polish:
+        p = prep[k]
+        best = np.asarray(best, np.float64)
+        params = vector_to_params(jnp.asarray(best), H=p["H"], W=p["W"])
+        results[k] = (
+            {
+                "cam_pos": np.asarray(params["cam_pos"], np.float64),
+                "target": np.asarray(params["target"], np.float64),
+                "f": float(params["f"]),
+                "cx": float(params["cx"]),
+                "cy": float(params["cy"]),
+                "H": p["H"],
+                "W": p["W"],
+            },
+            float(np.asarray(biou)),
+        )
+    return results
 
 
 def evaluate_camera_iou(

@@ -630,10 +630,12 @@ def refine_parts(
             nb["valid"][i] = True
         return nb
 
-    # largest parts first: their z-surfaces dominate everyone's occlusion
+    # largest parts first: their z-surfaces dominate everyone's occlusion;
+    # parts absent from the mask (empty GT) can only score 0 — keep identity
     searched = [
         p for p in sorted(parts, key=lambda q: -padded_sets[q][2])
         if p not in pin_identity and p not in overrides
+        and _gt_plane(p).sum() > 0
     ]
     for p in searched:
         deform, _ = optimize_part_deform(
@@ -705,5 +707,8 @@ def refine_parts(
                 "shift_xz": float(state[p][3]),
             },
             "iou": iou,
+            # parts absent from the mask can only ever score 0 (notebook 4
+            # prints "--" for them); consumers exclude them from means
+            "gt_px": int(_gt_plane(p).sum()),
         }
     return out

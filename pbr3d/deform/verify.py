@@ -186,13 +186,15 @@ def enforce_no_regression(
     )
 
     def _tol(p: str) -> float:
-        # Part and minaret cells must not regress AT ALL.  The "whole" row
-        # (occupied-union silhouette) gets a small allowance: identity parts
-        # sitting on the WRONG pixels still inflate it when those pixels
-        # belong to other parts' GT, so fixing a part can cost the union a
-        # few thousandths — the reference goldens accept the same trade
-        # (their Charminar whole row regresses 0.894→0.889).
-        return 0.01 if p == "whole" else 1e-6
+        # Part cells must not regress AT ALL.  The aggregate rows get small
+        # allowances: the "whole" (occupied-union) row because identity
+        # parts sitting on the WRONG pixels still inflate it when those
+        # pixels belong to other parts' GT, and the "minarets" row because
+        # it z-tests INIT points against the deformed grid, so ANY deform
+        # near the minarets costs a fringe of pixels.  The reference
+        # goldens accept far larger trades on both (whole: Charminar
+        # 0.894→0.889; minarets: Charminar 0.814→0.746, Akbar 0.800→0.779).
+        return {"whole": 0.01, "minarets": 0.005}.get(p, 1e-6)
 
     for _ in range(max_rounds):
         regressed = [p for p, (i, d) in cells.items() if d + _tol(p) < i]

@@ -287,23 +287,111 @@ def run_pipeline(
     return PipelineResult(monument, grid1, cameras, deforms, grid3, timings)
 
 
+def _stage2_all_batched(
+    monuments: Sequence[str],
+    grids: Dict[str, np.ndarray],
+    data_root: str | Path,
+    out_dir: Optional[str | Path],
+    *,
+    generations: int = 40,
+    population: int = 64,
+    seed: int = 0,
+) -> Dict[str, Dict[str, Dict[str, Dict]]]:
+    """Stage 2 for every monument with cross-view device batching.
+
+    Host side runs once per monument (3D minaret components are shared by
+    both views); the mask-IoU searches for ALL (monument, view) problems go
+    through :func:`pbr3d.camera.align.refine_cameras_batched` — grouped
+    bucketed device programs instead of 10 serial searches.
+    """
+    import sys
+
+    from pbr3d.camera.align import refine_cameras_batched
+    from pbr3d.camera.keypoints import extract_minaret_voxels_by_label
+    from pbr3d.carving.voxel import surface_points_by_parts
+
+    jobs: Dict = {}
+    cameras: Dict[str, Dict[str, Dict[str, Dict]]] = {}
+    for m in monuments:
+        grid = grids[m]
+        max_dim = int(np.max(grid.shape))
+        views = {
+            "front": load_mask_labels(data_root, m, "front", max_dim),
+            "drone": load_mask_labels(data_root, m, "drone"),
+        }
+        try:
+            vox_parts = extract_minaret_voxels_by_label(grid)
+        except ValueError:
+            vox_parts = None
+        shell = surface_points_by_parts(grid, list(ALIGN_PARTS))
+        cameras[m] = {"init": {}, "kp": {}, "final": {}}
+        for view, mask in views.items():
+            try:
+                vox_kps, img_kps = extract_minaret_kps_for_view(
+                    grid, mask, voxel_parts=vox_parts
+                )
+                init = auto_compute_initial_params_matching_bbox(
+                    grid, mask, list(ALIGN_PARTS)
+                )
+            except ValueError as e:
+                print(f"[stage2] {m}/{view} skipped: {e}", file=sys.stderr)
+                continue
+            cameras[m]["init"][view] = init
+            kp = optimize_camera_with_keypoints(
+                vox_kps, img_kps, mask.shape[:2], init
+            )
+            cameras[m]["kp"][view] = kp
+            jobs[(m, view)] = dict(
+                grid_labels=grid, mask_labels=mask, parts=list(ALIGN_PARTS),
+                init_params=kp, points=shell,
+            )
+
+    finals = refine_cameras_batched(
+        jobs, generations=generations, population=population, seed=seed
+    )
+    for (m, view), (params, _) in finals.items():
+        cameras[m]["final"][view] = params
+
+    if out_dir is not None:
+        for m in monuments:
+            base = Path(out_dir) / "2.Perspective_Camera_Estimation"
+            for tag, params in cameras[m].items():
+                save_camera_params(
+                    base / f"{m}_camera_params_{tag}.json",
+                    {v: {k: p[k] for k in p if k != "loss"}
+                     for v, p in params.items()},
+                )
+    return cameras
+
+
 def run_all(
     monuments: Sequence[str] = tuple(config.MONUMENTS),
     strict: bool = False,
     batch_stage1: bool = True,
+    batch_stage2: bool = True,
+    stage3_workers: int = 3,
     **kw,
 ) -> Dict[str, PipelineResult]:
-    """Run the full pipeline for every monument.
+    """Run the full pipeline for every monument, phase-major.
 
-    With ``batch_stage1`` (default) all monuments' stage-1 carves run as ONE
-    vmapped device program over a common padded bucket
-    (:func:`pbr3d.carving.fused.carve_monuments_batched`; falls back to the
-    serial path per its memory budget).  With ``strict=False`` a failing
-    monument is reported and skipped (the reference notebooks likewise skip
-    views that fail extraction).
+    * stage 1: ONE vmapped device program over a common padded bucket for
+      all scenes (:func:`pbr3d.carving.fused.carve_monuments_batched`);
+    * stage 2: all (monument, view) camera searches batched through grouped
+      bucketed device programs (``batch_stage2``);
+    * stage 3: monuments refined on a small thread pool — each monument's
+      part loop is host-sequential, but the device queue stays fed by the
+      other monuments' dispatches (``stage3_workers``).
+
+    With ``strict=False`` a failing monument is reported and skipped (the
+    reference notebooks likewise skip views that fail extraction); any
+    batched phase that fails falls back to the serial per-monument path.
     """
     import sys
     import traceback
+
+    data_root = kw.get("data_root", "/root/reference/data")
+    out_dir = kw.get("out_dir")
+    max_dim = kw.get("max_dim")
 
     grids: Dict[str, np.ndarray] = {}
     t_share: Optional[float] = None
@@ -311,8 +399,6 @@ def run_all(
         from pbr3d.carving.fused import carve_monuments_batched
         from pbr3d.io.masks import prepare_masks
 
-        data_root = kw.get("data_root", "/root/reference/data")
-        max_dim = kw.get("max_dim")
         try:
             t0 = time.perf_counter()
             sets = {
@@ -336,15 +422,82 @@ def run_all(
                   file=sys.stderr)
             traceback.print_exc()
 
-    out: Dict[str, PipelineResult] = {}
-    for m in monuments:
+    cameras_all: Dict[str, Dict] = {}
+    t2_share: Optional[float] = None
+    if batch_stage2 and len(monuments) > 1 and len(grids) == len(monuments):
         try:
-            out[m] = run_pipeline(
-                m, grid_stage1=grids.get(m), stage1_time=t_share, **kw
+            t0 = time.perf_counter()
+            cameras_all = _stage2_all_batched(
+                monuments, grids, data_root, out_dir,
+                **(kw.get("stage2_kw") or {}),
+            )
+            t2_share = (time.perf_counter() - t0) / max(len(monuments), 1)
+            print(
+                f"[run_all] batched stage2 x{len(monuments)}: "
+                f"{t2_share * len(monuments):.1f}s", file=sys.stderr, flush=True,
             )
         except Exception:
             if strict:
                 raise
-            print(f"[run_all] {m} FAILED:", file=sys.stderr)
+            cameras_all = {}
+            print("[run_all] batched stage2 FAILED, falling back to serial:",
+                  file=sys.stderr)
             traceback.print_exc()
+
+    if not cameras_all:
+        out: Dict[str, PipelineResult] = {}
+        for m in monuments:
+            try:
+                out[m] = run_pipeline(
+                    m, grid_stage1=grids.get(m), stage1_time=t_share, **kw
+                )
+            except Exception:
+                if strict:
+                    raise
+                print(f"[run_all] {m} FAILED:", file=sys.stderr)
+                traceback.print_exc()
+        return out
+
+    # ---- stage 3, threaded across monuments ----
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one_stage3(m: str) -> PipelineResult:
+        t0 = time.perf_counter()
+        cams = cameras_all[m]
+        if not cams["final"]:
+            raise RuntimeError(
+                f"{m}: no view passed camera estimation (all views skipped)"
+            )
+        cam_front = cams["final"].get("front") or next(iter(cams["final"].values()))
+        deforms, grid3 = run_stage3(
+            m, grids[m], cam_front, data_root, out_dir, **(kw.get("stage3_kw") or {})
+        )
+        timings = {
+            "stage1": t_share or 0.0,
+            "stage2": t2_share or 0.0,
+            "stage3": time.perf_counter() - t0,
+        }
+        print(f"[{m}] stage3 {timings['stage3']:.1f}s parts={len(deforms)}",
+              file=sys.stderr, flush=True)
+        return PipelineResult(m, grids[m], cams, deforms, grid3, timings)
+
+    out = {}
+    with ThreadPoolExecutor(max_workers=max(1, stage3_workers)) as ex:
+        futs = {m: ex.submit(one_stage3, m) for m in monuments}
+        for m, f in futs.items():
+            try:
+                out[m] = f.result()
+            except Exception:
+                if strict:
+                    raise
+                print(f"[run_all] {m} stage3 FAILED:", file=sys.stderr)
+                traceback.print_exc()
+
+    if out_dir is not None:
+        for m, r in out.items():
+            save_voxel_grid(
+                Path(out_dir) / "1.Orthographic_Voxel_Carving"
+                / f"{m}_voxel_grid.npz",
+                r.grid_stage1,
+            )
     return out

@@ -186,3 +186,53 @@ def test_refine_coarse_to_native_for_large_planes():
     # accepts improvements, so the reported IoU is the native-plane value
     # of the returned params
     assert iou >= 0.0
+
+
+def test_refine_cameras_batched_matches_serial_quality():
+    """The batched multi-view search must reach at least the serial path's
+    objective on a synthetic scene (same seed, same generations)."""
+    import numpy as np
+    from pbr3d import config
+    from pbr3d.camera.align import (
+        evaluate_camera_iou, refine_camera_mask_iou, refine_cameras_batched,
+    )
+
+    size = 48
+    grid = np.zeros((size, size, size), np.uint8)
+    fid = config.PART_IDS["front_minarets"]
+    bid = config.PART_IDS["back_minarets"]
+    grid[8:14, 8:40, 6:12] = fid
+    grid[8:14, 8:40, 36:42] = fid
+    grid[34:40, 8:36, 6:12] = bid
+    grid[34:40, 8:36, 36:42] = bid
+    mask = np.zeros((size, size), np.uint8)
+    mask[6:40, 4:12] = fid
+    mask[6:40, 36:44] = fid
+    mask[8:36, 14:20] = bid
+    mask[8:36, 28:34] = bid
+    c = size / 2.0
+    init = {
+        "cam_pos": np.array([c, c, -3.0 * size]),
+        "target": np.array([c, c, c]),
+        "f": 2.0 * size, "cx": c, "cy": c,
+    }
+    parts = ["front_minarets", "back_minarets"]
+
+    serial, iou_serial = refine_camera_mask_iou(
+        grid, mask, parts, init, generations=6, population=16, seed=0,
+    )
+    batched = refine_cameras_batched(
+        {("syn", "front"): dict(
+            grid_labels=grid, mask_labels=mask, parts=parts, init_params=init
+        )},
+        generations=6, population=16, seed=0,
+    )
+    params, iou_batched = batched[("syn", "front")]
+    # both must improve on the init, and the batched path must not be
+    # meaningfully worse than serial (trajectories differ: strided coarse
+    # phase + native polish)
+    iou_init = evaluate_camera_iou(grid, mask, parts, init)
+    assert iou_batched > iou_init
+    assert iou_batched >= iou_serial - 0.05
+    for k in ("H", "W", "f", "cx", "cy"):
+        assert k in params
