@@ -16,6 +16,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Implementation lives in the ops layer (pbr3d.ops.cameramath) so the
 # projection primitives can use it without a layering cycle.
@@ -28,7 +29,45 @@ __all__ = [
     "project_point",
     "params_to_vector",
     "vector_to_params",
+    "reparam_principal_point",
 ]
+
+
+def reparam_principal_point(
+    cam: Dict, cx_new: float = 0.0, cy_new: float = 0.0
+) -> Dict:
+    """Equivalent-projection reparameterization of the principal point.
+
+    Moving the principal point by Δc shifts every projection by Δc;
+    tilting the optical axis ẑ toward x̂ by a radians shifts projections by
+    ≈ −a·f (and toward ŷ by b shifts v by ≈ +b·f under the v = −Yf/Z + cy
+    convention).  So (cx, cy) → (cx', cy') composed with retargeting along
+
+        ẑ' ∝ ẑ + ((cx'−cx)/f)·x̂ + ((cy−cy')/f)·ŷ
+
+    preserves the projection to first order — the (target, cx, cy) ridge a
+    per-DoF search cannot walk (each single-DoF probe along it scores
+    worse).  The reference's golden Charminar drone camera sits at the FAR
+    end of this ridge (cx = cy = 0, exactly the kp-fit's lower bound,
+    results/2.*/Charminar_camera_params_final.json); searches seeded from
+    this reparameterized start can reach that basin.
+    """
+    c = np.asarray(cam["cam_pos"], np.float64)
+    t = np.asarray(cam["target"], np.float64)
+    f = float(cam["f"])
+    cx, cy = float(cam["cx"]), float(cam["cy"])
+    R = np.asarray(look_at_rotation(jnp.asarray(c), jnp.asarray(t)), np.float64)
+    xhat, yhat, zhat = R[0], R[1], R[2]
+    a = (cx_new - cx) / f
+    b = (cy - cy_new) / f
+    z2 = zhat + a * xhat + b * yhat
+    z2 = z2 / np.linalg.norm(z2)
+    dist = float(np.linalg.norm(t - c))
+    out = dict(cam)
+    out["target"] = c + dist * z2
+    out["cx"] = float(cx_new)
+    out["cy"] = float(cy_new)
+    return out
 
 
 def project_point(pt: jax.Array, cam: Dict) -> jax.Array:

@@ -34,6 +34,10 @@ from pbr3d.io.masks import load_mask_labels, prepare_masks
 
 ALIGN_PARTS = ("front_minarets", "back_minarets")  # notebook 2 cells 5/9
 
+#: Views whose mask-IoU search lands below this get a second search from the
+#: cx=cy=0 reparameterized start (the principal-point/orientation ridge).
+RETRY_IOU_FLOOR = 0.45
+
 
 @dataclasses.dataclass
 class PipelineResult:
@@ -119,10 +123,22 @@ def run_stage2(
         kp_params[view] = optimize_camera_with_keypoints(
             vox_kps, img_kps, mask.shape[:2], init
         )
-        final_params[view], _ = refine_camera_mask_iou(
+        final_params[view], iou = refine_camera_mask_iou(
             grid_labels, mask, list(ALIGN_PARTS), kp_params[view],
             generations=generations, population=population, seed=seed,
         )
+        if iou < RETRY_IOU_FLOOR:
+            # second start from the cx=cy=0 reparameterization (the
+            # principal-point/orientation ridge; see _stage2_all_batched)
+            from pbr3d.camera.geometry import reparam_principal_point
+
+            p2, iou2 = refine_camera_mask_iou(
+                grid_labels, mask, list(ALIGN_PARTS),
+                reparam_principal_point(kp_params[view]),
+                generations=generations, population=population, seed=seed + 1,
+            )
+            if iou2 > iou:
+                final_params[view] = p2
 
     cameras = {"init": init_params, "kp": kp_params, "final": final_params}
     if out_dir is not None:
@@ -346,9 +362,35 @@ def _stage2_all_batched(
                 init_params=kp, points=shell,
             )
 
+    if not jobs:
+        return cameras
     finals = refine_cameras_batched(
         jobs, generations=generations, population=population, seed=seed
     )
+
+    # Low-scoring views get a second start from the principal-point
+    # reparameterization of their kp camera (cx=cy=0 with a compensating
+    # retarget) — the (target, cx, cy) ridge the per-DoF search cannot walk
+    # (see camera/geometry.reparam_principal_point; the golden Charminar
+    # drone camera lives in that basin).
+    from pbr3d.camera.geometry import reparam_principal_point
+
+    retry = {
+        k: dict(jobs[k], init_params=reparam_principal_point(jobs[k]["init_params"]))
+        for k, (_, iou) in finals.items() if iou < RETRY_IOU_FLOOR
+    }
+    if retry:
+        import sys as _sys
+
+        print(f"[stage2] retrying {sorted(retry)} from the cx=cy=0 "
+              "reparameterized start", file=_sys.stderr)
+        finals2 = refine_cameras_batched(
+            retry, generations=generations, population=population, seed=seed + 1
+        )
+        for k, (params, iou) in finals2.items():
+            if iou > finals[k][1]:
+                finals[k] = (params, iou)
+
     for (m, view), (params, _) in finals.items():
         cameras[m]["final"][view] = params
 
