@@ -39,7 +39,12 @@ from pbr3d.carving.voxel import (
     surface_points_by_parts,
 )
 from pbr3d.deform.warp import deform_coords
-from pbr3d.ops.projection import partwise_iou, splat_labels, zbuffer
+from pbr3d.ops.projection import (
+    partwise_iou,
+    partwise_zbuffers,
+    splat_labels,
+    zbuffer,
+)
 
 IDENTITY_DEFORM = np.array([1.0, 0.0, 1.0, 0.0], np.float32)  # sy, dy, sxz, dxz
 
@@ -217,6 +222,43 @@ def deformed_zbuffer(
         cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
         H, W, true_hw=true_hw,
     )
+
+
+#: Fixed part-slot count for the one-dispatch per-part z-buffer program
+#: (one executable for every monument; unused slots carry id 255).
+_ZB_SLOTS = 10
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _partwise_zbufs(pts, labels, valid, cam_vec, part_ids, true_hw, H, W):
+    """(K=_ZB_SLOTS, H, W) min-Z per part from ONE segment reduction over
+    the whole grid's point set (pbr3d.ops.projection.partwise_zbuffers)."""
+    return partwise_zbuffers(
+        pts, labels, valid,
+        cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
+        part_ids, H, W, true_hw=true_hw,
+    )
+
+
+def all_part_zbuffers(
+    pts: np.ndarray,  # (N, 3) int16/f32 — ALL occupied voxels, padded ok
+    labels: np.ndarray,  # (N,)
+    valid: np.ndarray,  # (N,)
+    cam_vec,
+    parts,  # part names (<= _ZB_SLOTS)
+    true_hw,
+    Hp: int,
+    Wp: int,
+) -> Dict[str, np.ndarray]:
+    """part -> (Hp, Wp) min-Z image, all parts in one device dispatch."""
+    ids = np.full((_ZB_SLOTS,), 255, np.int32)
+    for i, p in enumerate(parts):
+        ids[i] = config.PART_IDS[p]
+    zbs = np.asarray(_partwise_zbufs(
+        jnp.asarray(pts), jnp.asarray(labels), jnp.asarray(valid),
+        jnp.asarray(cam_vec), jnp.asarray(ids), jnp.asarray(true_hw), Hp, Wp,
+    ))
+    return {p: zbs[i] for i, p in enumerate(parts)}
 
 
 #: Max candidate-points resident per vmapped eval (bounds device memory:
@@ -559,10 +601,23 @@ def refine_parts(
         ))
 
     state: Dict[str, np.ndarray] = {p: IDENTITY_DEFORM.copy() for p in parts}
+    # All parts' identity z-buffers in ONE dispatch (identity deform + the
+    # 7-jitter rounding reproduce the raw integer coords exactly, so the
+    # direct projection is equivalent to deformed_zbuffer at identity).
+    pts_all, labels_all = cache.all_points()
+    n_all = bucket_size(len(pts_all))
+    pa = np.zeros((n_all, 3), np.int16)
+    la = np.zeros((n_all,), np.uint8)
+    va = np.zeros((n_all,), bool)
+    pa[: len(pts_all)] = pts_all
+    la[: len(pts_all)] = labels_all
+    va[: len(pts_all)] = True
+    zb_identity = all_part_zbuffers(
+        pa, la, va, params_to_vector(cam), parts,
+        np.asarray([H, W], np.int32), Hp, Wp,
+    )
     zbs: Dict[str, np.ndarray] = {}
-    zb_identity: Dict[str, np.ndarray] = {}
     for p in parts:
-        zb_identity[p] = zb_at(p, IDENTITY_DEFORM)
         if p in overrides:
             state[p] = _deform_vec(overrides[p])
             zbs[p] = zb_at(p, state[p])

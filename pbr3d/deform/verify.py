@@ -37,8 +37,6 @@ from pbr3d.deform.search import (
     VIS_EPS,
     _pad_plane_hw,
     _visible_iou_from_zb,
-    deformed_zbuffer,
-    pad_points_i16,
 )
 
 #: The nb4 table's searched-part rows (eval_helpers_intra.py:564).
@@ -48,25 +46,23 @@ NB4_PARTS = ("dome", "chhatris", "main_door", "windows", "plinth")
 def _part_zbufs(
     cache: PointCache, cam: Dict, H: int, W: int, parts
 ) -> Dict[str, np.ndarray]:
-    """(Hp, Wp) min-Z image per part from a grid's own point sets."""
+    """(Hp, Wp) min-Z image per part — ALL parts in one device dispatch
+    (pbr3d.deform.search.all_part_zbuffers)."""
+    from pbr3d.deform.search import all_part_zbuffers
+
     Hp, Wp = _pad_plane_hw(H, W)
-    cam_vec = jnp.asarray(params_to_vector(cam))
-    true_hw = jnp.asarray([H, W], jnp.int32)
-    # identity "deform" route so the zbuffer program is shared with search
-    vs = jnp.asarray([1 << 14, 1 << 14, 1 << 14], jnp.int32)  # no-op bounds
-    out = {}
-    for p in parts:
-        pts, _ = cache.points_by_parts([p])
-        if len(pts) == 0:
-            out[p] = np.full((Hp, Wp), np.inf, np.float32)
-            continue
-        pp, vv = pad_points_i16(pts, bucket_size(len(pts)))
-        center = jnp.asarray(pts.mean(axis=0), jnp.float32)
-        out[p] = np.asarray(deformed_zbuffer(
-            jnp.asarray(IDENTITY_DEFORM), jnp.asarray(pp), jnp.asarray(vv),
-            cam_vec, true_hw, vs, center, Hp, Wp,
-        ))
-    return out
+    pts, labels = cache.all_points()
+    n = bucket_size(len(pts))
+    pa = np.zeros((n, 3), np.int16)
+    la = np.zeros((n,), np.uint8)
+    va = np.zeros((n,), bool)
+    pa[: len(pts)] = pts
+    la[: len(pts)] = labels
+    va[: len(pts)] = True
+    return all_part_zbuffers(
+        pa, la, va, params_to_vector(cam), list(parts),
+        np.asarray([H, W], np.int32), Hp, Wp,
+    )
 
 
 def _cells_from_zbufs(

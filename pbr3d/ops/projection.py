@@ -120,6 +120,41 @@ def project_visible(
     return (count > 0).reshape(H, W)
 
 
+def partwise_zbuffers(
+    pts: jax.Array,  # (N, 3) f32/int16 — ALL occupied voxels
+    labels: jax.Array,  # (N,) uint8/int32
+    point_valid: jax.Array,  # (N,)
+    cam_pos, target, f, cx, cy,
+    part_ids: jax.Array,  # (K,) int32
+    H: int, W: int,
+    z_valid_min: float = 1e-6,
+    true_hw: jax.Array | None = None,
+) -> jax.Array:
+    """(K, H, W) min-Z buffer per part in ONE segment reduction.
+
+    Each point belongs to exactly one part (labels are exclusive), so
+    offsetting the pixel index by ``part_slot * (H*W+1)`` yields disjoint
+    segment ranges — one pass over N points replaces K separate z-buffer
+    dispatches (the per-dispatch tunnel latency and the repeated projection
+    of the shared point set dominate stage 3's z-buffer maintenance).
+    """
+    K = part_ids.shape[0]
+    u, v, Z = project_points(pts.astype(jnp.float32), cam_pos, target, f, cx, cy)
+    pix, ok = _pixel_index(u, v, point_valid & (Z > z_valid_min), H, W, true_hw)
+    # slot of each point's label in part_ids; K = "no part" dump row
+    slot = jnp.argmax(labels[None, :] == part_ids[:, None], axis=0)
+    known = jnp.any(labels[None, :] == part_ids[:, None], axis=0)
+    slot = jnp.where(known, slot, K)
+    seg = jnp.where(ok, slot * (H * W + 1) + pix, (K + 1) * (H * W + 1) - 1)
+    INF = jnp.float32(jnp.inf)
+    zb = jax.ops.segment_min(
+        jnp.where(ok, Z.astype(jnp.float32), INF), seg,
+        num_segments=(K + 1) * (H * W + 1),
+    )
+    zb = zb.reshape(K + 1, H * W + 1)[:K, : H * W]
+    return zb.reshape(K, H, W)
+
+
 def partwise_iou(
     proj_labels: jax.Array,
     gt_labels: jax.Array,

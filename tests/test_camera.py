@@ -236,3 +236,39 @@ def test_refine_cameras_batched_matches_serial_quality():
     assert iou_batched >= iou_serial - 0.05
     for k in ("H", "W", "f", "cx", "cy"):
         assert k in params
+
+
+def test_reparam_principal_point_preserves_projection():
+    """Moving the principal point with the compensating retarget must keep
+    projections fixed to first order (small moves ~exact; full-image moves
+    bounded by the second-order perspective term)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pbr3d.camera.geometry import reparam_principal_point
+    from pbr3d.ops.cameramath import project_points
+
+    cam = {"cam_pos": np.array([300.0, 200.0, -900.0]),
+           "target": np.array([128.0, 100.0, 128.0]),
+           "f": 800.0, "cx": 161.0, "cy": 208.0}
+    pts = np.random.default_rng(0).uniform(0, 256, (500, 3)).astype(np.float32)
+    u0, v0, _ = project_points(
+        jnp.asarray(pts), cam["cam_pos"], cam["target"],
+        cam["f"], cam["cx"], cam["cy"])
+
+    # small move: sub-pixel preservation
+    small = reparam_principal_point(cam, cam["cx"] - 5.0, cam["cy"] + 5.0)
+    u1, v1, _ = project_points(
+        jnp.asarray(pts), small["cam_pos"], small["target"],
+        small["f"], small["cx"], small["cy"])
+    assert float(jnp.abs(u1 - u0).mean()) < 0.5
+    assert float(jnp.abs(v1 - v0).mean()) < 0.5
+
+    # full move to cx=cy=0: bounded second-order residual, params moved
+    big = reparam_principal_point(cam, 0.0, 0.0)
+    assert big["cx"] == 0.0 and big["cy"] == 0.0
+    assert np.linalg.norm(np.asarray(big["target"]) - cam["target"]) > 50
+    u2, v2, _ = project_points(
+        jnp.asarray(pts), big["cam_pos"], big["target"],
+        big["f"], big["cx"], big["cy"])
+    assert float(jnp.abs(u2 - u0).mean()) < 15.0
+    assert float(jnp.abs(v2 - v0).mean()) < 15.0
