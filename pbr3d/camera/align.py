@@ -74,6 +74,7 @@ def _search_impl(
     H: int, W: int,
     generations: int, population: int, cd_rounds: int,
     lock_xy_equal: bool, pop_chunk: int,
+    step_scale: jax.Array | float = 1.0,  # scales all proposal steps
 ) -> Tuple[jax.Array, jax.Array]:
     """Full random-search + coordinate-descent refinement in ONE program.
 
@@ -120,7 +121,8 @@ def _search_impl(
         return (best, biou, steps, stall, shrinks), None
 
     keys = jax.random.split(jax.random.PRNGKey(seed), generations)
-    carry = (init_vec, init_iou, jnp.asarray(_STEPS0), jnp.int32(0), jnp.int32(0))
+    carry = (init_vec, init_iou, jnp.asarray(_STEPS0) * step_scale,
+             jnp.int32(0), jnp.int32(0))
     (best, biou, *_), _ = jax.lax.scan(gen_step, carry, keys)
 
     # coordinate descent: all +-delta probes of the 9 DoF in one batch
@@ -139,7 +141,8 @@ def _search_impl(
         return (best, biou, delta), None
 
     (best, biou, _), _ = jax.lax.scan(
-        cd_step, (best, biou, jnp.float32(20.0)), None, length=cd_rounds
+        cd_step, (best, biou, jnp.float32(20.0) * step_scale), None,
+        length=cd_rounds
     )
     return best, biou
 
@@ -169,6 +172,7 @@ def _search_device_multi(
     gt_labels,  # (V, Hp, Wp)
     part_ids,  # (K,) — shared across views
     true_hw,  # (V, 2)
+    step_scales,  # (V,) f32 — per-view proposal-step scale
     H: int, W: int,
     generations: int, population: int, cd_rounds: int,
     lock_xy_equal: bool, pop_chunk: int,
@@ -178,11 +182,11 @@ def _search_device_multi(
     view axis — one dispatch and one executable per (plane, point) bucket
     pair instead of one per view."""
     return jax.vmap(
-        lambda s, x, p, l, v, g, t: _search_impl(
+        lambda s, x, p, l, v, g, t, sc: _search_impl(
             s, x, p, l, v, g, part_ids, t, H, W,
-            generations, population, cd_rounds, lock_xy_equal, pop_chunk,
+            generations, population, cd_rounds, lock_xy_equal, pop_chunk, sc,
         )
-    )(seeds, init_vecs, pts, labels, valid, gt_labels, true_hw)
+    )(seeds, init_vecs, pts, labels, valid, gt_labels, true_hw, step_scales)
 
 
 def _pad_plane(mask_labels: np.ndarray, to_hw: Tuple[int, int] | None = None):
@@ -206,6 +210,9 @@ def refine_cameras_batched(
     lock_xy_equal: bool = False,
     coarse_stride: int = 2,
 ) -> Dict:
+    # per-job dict may carry "step_scale" (default 1.0): proposal-step
+    # multiplier for searches whose init sits at a larger world scale than
+    # the reference's absolute step sizes assume
     """All views' mask-IoU camera refinements with cross-view batching.
 
     ``jobs``: key -> dict(grid_labels=..., mask_labels=..., parts=[...],
@@ -250,7 +257,12 @@ def refine_cameras_batched(
         )
 
     # ---- phase 1: grouped coarse random search ----
-    B = max(bucket_size(len(p["pts"][::coarse_stride])) for p in prep.values())
+    # per-view stride: at least ``coarse_stride``, and enough to keep every
+    # strided shell <= 32k points (the shared bucket B is the max over the
+    # group, and every view PAYS B — candidate cost is linear in points)
+    for p in prep.values():
+        p["stride"] = max(coarse_stride, -(-len(p["pts"]) // 32768))
+    B = max(bucket_size(len(p["pts"][:: p["stride"]])) for p in prep.values())
     groups: Dict[Tuple[int, int], list] = {}
     for k in keys:
         cm = prep[k]["coarse_mask"]
@@ -267,10 +279,11 @@ def refine_cameras_batched(
         gt_b = np.zeros((V, Hp, Wp), np.uint8)
         thw_b = np.zeros((V, 2), np.int32)
         iv_b = np.zeros((V, 9), np.float32)
+        sc_b = np.ones((V,), np.float32)
         for i, k in enumerate(gkeys):
             p = prep[k]
-            sub = p["pts"][::coarse_stride]
-            lab = p["labels"][::coarse_stride]
+            sub = p["pts"][:: p["stride"]]
+            lab = p["labels"][:: p["stride"]]
             pts_b[i, : len(sub)] = sub
             lab_b[i, : len(sub)] = lab
             val_b[i, : len(sub)] = True
@@ -278,6 +291,7 @@ def refine_cameras_batched(
             gt_b[i, : cm.shape[0], : cm.shape[1]] = cm
             thw_b[i] = cm.shape[:2]
             iv_b[i] = params_to_vector(p["init"])
+            sc_b[i] = jobs[k].get("step_scale", 1.0)
         pop_chunk = max(1, min(population, (1 << 26) // max(1, B * V)))
         pop_chunk = 1 << (pop_chunk.bit_length() - 1)
         pop = max(pop_chunk, (population // pop_chunk) * pop_chunk)
@@ -286,7 +300,7 @@ def refine_cameras_batched(
             jnp.asarray(iv_b), jnp.asarray(pts_b), jnp.asarray(lab_b),
             jnp.asarray(val_b), jnp.asarray(gt_b),
             jnp.asarray(prep[gkeys[0]]["part_ids"]),
-            jnp.asarray(thw_b),
+            jnp.asarray(thw_b), jnp.asarray(sc_b),
             Hp, Wp, generations, pop, 0, lock_xy_equal, pop_chunk,
         )
         pending.append((gkeys, out))
@@ -316,6 +330,7 @@ def refine_cameras_batched(
             jnp.asarray(p["part_ids"]),
             jnp.asarray([p["H"], p["W"]], jnp.int32),
             Hp, Wp, 0, pop_chunk, cd_rounds, lock_xy_equal, pop_chunk,
+            jnp.float32(jobs[k].get("step_scale", 1.0)),
         )
         polish.append((k, out))
     for k, (best, biou) in polish:
@@ -387,6 +402,7 @@ def refine_camera_mask_iou(
     cd_rounds: int = 6,
     seed: int = 0,
     lock_xy_equal: bool = False,
+    step_scale: float = 1.0,
     _allow_coarse: bool = True,
 ) -> Tuple[Dict, float]:
     """Automated mask-IoU camera refinement.  Returns (params, best IoU).
@@ -405,7 +421,8 @@ def refine_camera_mask_iou(
         half, _ = refine_camera_mask_iou(
             grid_labels, mask_labels[::2, ::2], parts_for_alignment, half_init,
             generations=generations, population=population, cd_rounds=cd_rounds,
-            seed=seed, lock_xy_equal=lock_xy_equal, _allow_coarse=False,
+            seed=seed, lock_xy_equal=lock_xy_equal, step_scale=step_scale,
+            _allow_coarse=False,
         )
         native_init = {
             "cam_pos": half["cam_pos"],
@@ -417,7 +434,8 @@ def refine_camera_mask_iou(
         return refine_camera_mask_iou(
             grid_labels, mask_labels, parts_for_alignment, native_init,
             generations=0, population=population, cd_rounds=cd_rounds,
-            seed=seed, lock_xy_equal=lock_xy_equal, _allow_coarse=False,
+            seed=seed, lock_xy_equal=lock_xy_equal, step_scale=step_scale,
+            _allow_coarse=False,
         )
 
     # Surface shell, not the solid: identical silhouettes (rays enter through
@@ -444,6 +462,7 @@ def refine_camera_mask_iou(
         jnp.asarray([H, W], jnp.int32),
         Hp, Wp,
         generations, population, cd_rounds, lock_xy_equal, pop_chunk,
+        jnp.float32(step_scale),
     )
     best = np.asarray(best, np.float64)
 
