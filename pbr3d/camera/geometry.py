@@ -30,7 +30,42 @@ __all__ = [
     "params_to_vector",
     "vector_to_params",
     "reparam_principal_point",
+    "yaw_camera_about_center",
+    "dolly_zoom",
 ]
+
+
+def yaw_camera_about_center(cam: Dict, grid_shape, deg: float) -> Dict:
+    """Rotate the camera rig (position AND target) about the voxel grid
+    center's vertical (y) axis.
+
+    The monuments are 4-fold symmetric, so the minaret keypoint
+    correspondence — and with it the kp camera's azimuth — is only
+    determined up to a 90° rotation for oblique (drone) views; the human
+    aligner resolved the true azimuth visually.  Yawed copies of the kp
+    camera give the automated search one start per symmetry branch.
+    """
+    center = np.asarray(grid_shape[:3], np.float64)[[2, 1, 0]] / 2.0  # (x,y,z)
+    a = np.deg2rad(deg)
+    R = np.array(
+        [[np.cos(a), 0.0, np.sin(a)], [0.0, 1.0, 0.0],
+         [-np.sin(a), 0.0, np.cos(a)]]
+    )
+    out = dict(cam)
+    out["cam_pos"] = center + R @ (np.asarray(cam["cam_pos"], np.float64) - center)
+    out["target"] = center + R @ (np.asarray(cam["target"], np.float64) - center)
+    return out
+
+
+def dolly_zoom(cam: Dict, s: float) -> Dict:
+    """Push the camera back s× along the optical axis while zooming f by s —
+    image size preserved at the target depth (the multi-FOV init family)."""
+    c = np.asarray(cam["cam_pos"], np.float64)
+    t = np.asarray(cam["target"], np.float64)
+    out = dict(cam)
+    out["cam_pos"] = t + (c - t) * s
+    out["f"] = float(cam["f"]) * s
+    return out
 
 
 def reparam_principal_point(

@@ -34,9 +34,31 @@ from pbr3d.io.masks import load_mask_labels, prepare_masks
 
 ALIGN_PARTS = ("front_minarets", "back_minarets")  # notebook 2 cells 5/9
 
-#: Views whose mask-IoU search lands below this get a second search from the
-#: cx=cy=0 reparameterized start (the principal-point/orientation ridge).
+#: Views whose mask-IoU search lands below this get second searches from a
+#: family of reparameterized starts (principal-point ridge, dolly-zoom,
+#: 90°-yaw symmetry branches) — see ``_retry_starts``.
 RETRY_IOU_FLOOR = 0.45
+
+
+def _retry_starts(kp_params: Dict, grid_shape):
+    """(tag, init_params, step_scale) second-start family for one view."""
+    from pbr3d.camera.geometry import (
+        dolly_zoom,
+        reparam_principal_point,
+        yaw_camera_about_center,
+    )
+
+    starts = [
+        ("pp0", reparam_principal_point(kp_params), 1.0),
+        ("dolly2", dolly_zoom(kp_params, 2.0), 2.0),
+    ]
+    for deg in (90, 180, 270):
+        y = yaw_camera_about_center(kp_params, grid_shape, deg)
+        starts.append((f"yaw{deg}", y, 1.0))
+        # the winning Charminar-drone start was yaw90+dolly2 (the golden
+        # basin: right symmetry branch AND the far/narrow-FOV regime)
+        starts.append((f"yaw{deg}+dolly2", dolly_zoom(y, 2.0), 2.0))
+    return starts
 
 
 @dataclasses.dataclass
@@ -128,17 +150,18 @@ def run_stage2(
             generations=generations, population=population, seed=seed,
         )
         if iou < RETRY_IOU_FLOOR:
-            # second start from the cx=cy=0 reparameterization (the
-            # principal-point/orientation ridge; see _stage2_all_batched)
-            from pbr3d.camera.geometry import reparam_principal_point
-
-            p2, iou2 = refine_camera_mask_iou(
-                grid_labels, mask, list(ALIGN_PARTS),
-                reparam_principal_point(kp_params[view]),
-                generations=generations, population=population, seed=seed + 1,
-            )
-            if iou2 > iou:
-                final_params[view] = p2
+            # second starts from the reparameterized family (see
+            # _retry_starts / _stage2_all_batched)
+            for _tag, init2, scale in _retry_starts(
+                kp_params[view], np.asarray(grid_labels).shape
+            ):
+                p2, iou2 = refine_camera_mask_iou(
+                    grid_labels, mask, list(ALIGN_PARTS), init2,
+                    generations=generations, population=population,
+                    seed=seed + 1, step_scale=scale,
+                )
+                if iou2 > iou:
+                    final_params[view], iou = p2, iou2
 
     cameras = {"init": init_params, "kp": kp_params, "final": final_params}
     if out_dir is not None:
@@ -368,27 +391,33 @@ def _stage2_all_batched(
         jobs, generations=generations, population=population, seed=seed
     )
 
-    # Low-scoring views get a second start from the principal-point
-    # reparameterization of their kp camera (cx=cy=0 with a compensating
-    # retarget) — the (target, cx, cy) ridge the per-DoF search cannot walk
-    # (see camera/geometry.reparam_principal_point; the golden Charminar
-    # drone camera lives in that basin).
-    from pbr3d.camera.geometry import reparam_principal_point
-
+    # Low-scoring views get a FAMILY of second starts — all stacked into
+    # the same batched device program (they share the view's buckets):
+    # the cx=cy=0 principal-point reparameterization (the (target, cx, cy)
+    # ridge), the 2x dolly-zoom with 2x proposal steps (far/narrow-FOV
+    # regime), and the three 90°-yaw symmetry branches (4-fold monuments
+    # leave the kp camera's azimuth ambiguous for oblique views).
     retry = {
-        k: dict(jobs[k], init_params=reparam_principal_point(jobs[k]["init_params"]))
-        for k, (_, iou) in finals.items() if iou < RETRY_IOU_FLOOR
+        k: jobs[k] for k, (_, iou) in finals.items() if iou < RETRY_IOU_FLOOR
     }
     if retry:
         import sys as _sys
 
-        print(f"[stage2] retrying {sorted(retry)} from the cx=cy=0 "
-              "reparameterized start", file=_sys.stderr)
+        print(f"[stage2] retrying {sorted(retry)} from reparameterized/"
+              "dolly/yaw starts", file=_sys.stderr)
+        jobs2 = {}
+        for k, j in retry.items():
+            for tag, init, scale in _retry_starts(
+                j["init_params"], np.asarray(j["grid_labels"]).shape
+            ):
+                jobs2[(k, tag)] = dict(j, init_params=init, step_scale=scale)
         finals2 = refine_cameras_batched(
-            retry, generations=generations, population=population, seed=seed + 1
+            jobs2, generations=generations, population=population, seed=seed + 1
         )
-        for k, (params, iou) in finals2.items():
+        for (k, tag), (params, iou) in finals2.items():
             if iou > finals[k][1]:
+                print(f"[stage2] {k}: {tag} start improved "
+                      f"{finals[k][1]:.4f} -> {iou:.4f}", file=_sys.stderr)
                 finals[k] = (params, iou)
 
     for (m, view), (params, _) in finals.items():
