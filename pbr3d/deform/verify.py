@@ -65,6 +65,25 @@ def _part_zbufs(
     )
 
 
+def _part_zbufs_grid(grid, cam: Dict, H: int, W: int, parts):
+    """Per-part z-buffers from a dense (possibly device-resident) grid —
+    one dispatch, zero host transfer (ops.projection.partwise_zbuffers_grid)."""
+    import jax.numpy as jnp
+
+    from pbr3d.deform.search import _ZB_SLOTS
+    from pbr3d.ops.projection import partwise_zbuffers_grid
+
+    Hp, Wp = _pad_plane_hw(H, W)
+    ids = np.full((_ZB_SLOTS,), 255, np.int32)
+    for i, p in enumerate(parts):
+        ids[i] = config.PART_IDS[p]
+    zbs = np.asarray(partwise_zbuffers_grid(
+        jnp.asarray(grid), params_to_vector(cam), jnp.asarray(ids),
+        jnp.asarray([H, W], np.int32), Hp, Wp,
+    ))
+    return {p: zbs[i] for i, p in enumerate(parts)}
+
+
 def _cells_from_zbufs(
     zbufs: Dict[str, np.ndarray], gt_planes: Dict[str, np.ndarray]
 ) -> Dict[str, float]:
@@ -79,33 +98,14 @@ def _cells_from_zbufs(
     return out
 
 
-def nb4_exact_cells(
-    grid_init: np.ndarray,
-    grid_def: np.ndarray,
-    mask_nb4: np.ndarray,
-    cam: Dict,
-    cache_init: Optional[PointCache] = None,
-    cache_def: Optional[PointCache] = None,
+def _rows_from_state(
+    zb_i: Dict[str, np.ndarray],
+    zb_d: Dict[str, np.ndarray],
+    gt_planes: Dict[str, np.ndarray],
+    parts,
+    mask_p: np.ndarray,
 ) -> Dict[str, Tuple[float, float]]:
-    """The nb4 per-part init→deformed IoU cells, exactly as notebook 4
-    computes them.  ``mask_nb4`` must be the ROUNDED-resize label mask."""
-    H, W = np.asarray(mask_nb4).shape[:2]
-    Hp, Wp = _pad_plane_hw(H, W)
-    cache_init = cache_init or PointCache(grid_init)
-    cache_def = cache_def or PointCache(grid_def)
-    present_i = set(int(v) for v in np.unique(cache_init._labels))
-    parts = [p for p in config.PART_NAMES
-             if p != "background" and config.PART_IDS[p] in present_i]
-    gt_planes = {}
-    mask_p = np.zeros((Hp, Wp), np.uint8)
-    mask_p[:H, :W] = np.asarray(mask_nb4)
-    for p in parts:
-        gt_planes[p] = mask_p == config.PART_IDS[p]
-
-    zb_i = _part_zbufs(cache_init, cam, H, W, parts)
-    zb_d = _part_zbufs(cache_def, cam, H, W, parts)
-    # Parts may vanish from the rebuilt grid (fully overwritten): their
-    # deformed z-buffer is empty (inf) and the cell reads ~0, as in nb4.
+    """All nb4 rows from the two grids' per-part z-buffer stacks."""
     cells_i = _cells_from_zbufs(zb_i, gt_planes)
     cells_d = _cells_from_zbufs(zb_d, gt_planes)
     out = {}
@@ -120,11 +120,11 @@ def nb4_exact_cells(
     # (eval_helpers_intra.py:631-648).  Minarets exist in the rebuilt grid
     # (pinned/identity), so their min-Z decides visibility in both columns.
     min_parts = [p for p in ("front_minarets", "back_minarets") if p in parts]
+    tot_i = np.minimum.reduce(list(zb_i.values()))
+    tot_d = np.minimum.reduce(list(zb_d.values()))
     if min_parts:
         zb_min = np.minimum.reduce([zb_i[p] for p in min_parts])
         gt_min = np.logical_or.reduce([gt_planes[p] for p in min_parts])
-        tot_i = np.minimum.reduce(list(zb_i.values()))
-        tot_d = np.minimum.reduce(list(zb_d.values()))
         # visible iff the minarets' min-Z is within eps of the whole grid's
         # z-buffer; tot <= zb_min in both grids (minarets are pinned), so
         # passing the TOTAL as the "rest" gives exactly zb_min - tot < eps.
@@ -136,13 +136,58 @@ def nb4_exact_cells(
     # labels present in the INIT grid (eval_helpers_intra.py:274-285).
     present_ids = [config.PART_IDS[p] for p in parts]
     gt_whole = np.isin(mask_p, present_ids)
-    tot_i = np.minimum.reduce(list(zb_i.values()))
-    tot_d = np.minimum.reduce(list(zb_d.values()))
     out["whole"] = (
         _iou_bool_np(np.isfinite(tot_i), gt_whole),
         _iou_bool_np(np.isfinite(tot_d), gt_whole),
     )
     return out
+
+
+def _nb4_state(
+    grid_init: np.ndarray,
+    grid_def: np.ndarray,
+    mask_nb4: np.ndarray,
+    cam: Dict,
+    cache_init: Optional[PointCache] = None,
+    zb_i: Optional[Dict[str, np.ndarray]] = None,
+):
+    """(cells, zb_i, zb_d, gt_planes, parts, mask_p) for the rebuilt grid.
+    ``zb_i`` (init z-buffers) can be reused across rebuilds — the init grid
+    never changes inside the verify loop."""
+    H, W = np.asarray(mask_nb4).shape[:2]
+    Hp, Wp = _pad_plane_hw(H, W)
+    cache_init = cache_init or PointCache(grid_init)
+    present_i = set(int(v) for v in np.unique(cache_init._labels))
+    parts = [p for p in config.PART_NAMES
+             if p != "background" and config.PART_IDS[p] in present_i]
+    gt_planes = {}
+    mask_p = np.zeros((Hp, Wp), np.uint8)
+    mask_p[:H, :W] = np.asarray(mask_nb4)
+    for p in parts:
+        gt_planes[p] = mask_p == config.PART_IDS[p]
+
+    if zb_i is None:
+        zb_i = _part_zbufs_grid(grid_init, cam, H, W, parts)
+    # Parts may vanish from the rebuilt grid (fully overwritten): their
+    # deformed z-buffer is empty (inf) and the cell reads ~0, as in nb4.
+    # ``grid_def`` may be a DEVICE array (the fused rebuild) — the dense
+    # z-buffer program reads it without any host round-trip.
+    zb_d = _part_zbufs_grid(grid_def, cam, H, W, parts)
+    cells = _rows_from_state(zb_i, zb_d, gt_planes, parts, mask_p)
+    return cells, zb_i, zb_d, gt_planes, parts, mask_p
+
+
+def nb4_exact_cells(
+    grid_init: np.ndarray,
+    grid_def: np.ndarray,
+    mask_nb4: np.ndarray,
+    cam: Dict,
+    cache_init: Optional[PointCache] = None,
+    cache_def: Optional[PointCache] = None,
+) -> Dict[str, Tuple[float, float]]:
+    """The nb4 per-part init→deformed IoU cells, exactly as notebook 4
+    computes them.  ``mask_nb4`` must be the ROUNDED-resize label mask."""
+    return _nb4_state(grid_init, grid_def, mask_nb4, cam, cache_init)[0]
 
 
 def _iou_bool_np(a: np.ndarray, b: np.ndarray) -> float:
@@ -177,7 +222,7 @@ def enforce_no_regression(
 
     cache_init = cache_init or PointCache(grid_init)
     grid_def = build_fn(vecs())
-    cells = nb4_exact_cells(
+    cells, zb_i, zb_d, gt_planes, parts, mask_p = _nb4_state(
         grid_init, grid_def, mask_nb4, cam, cache_init=cache_init
     )
 
@@ -209,25 +254,26 @@ def enforce_no_regression(
                 }
                 changed = True
             else:
-                # p itself is identity — revert the non-identity part whose
-                # removal recovers p's cell the most
+                # p itself is identity — rank the deformed neighbors by how
+                # much reverting each recovers p's cell, via the z-buffer
+                # stacks (swap q's deformed z-buffer for its init one):
+                # image math only, no grid rebuild per candidate.  The
+                # chosen revert is verified EXACTLY on the rebuilt grid at
+                # the top of the next round (the swap ignores scatter-
+                # collision effects, which only make the estimate
+                # conservative for ranking).
                 cands = [
                     q for q, dq in vecs().items()
                     if q != p and not np.array_equal(dq, IDENTITY_DEFORM)
                 ]
                 best_q, best_iou = None, cells[p][1]
                 for q in cands:
-                    trial = dict(deforms[q]["deform"])
-                    deforms[q]["deform"] = {
-                        "scale_y": 1.0, "shift_y": 0.0,
-                        "scale_xz": 1.0, "shift_xz": 0.0,
-                    }
-                    g_try = build_fn(vecs())
-                    c_try = nb4_exact_cells(
-                        grid_init, g_try, mask_nb4, cam, cache_init=cache_init
+                    zb_try = dict(zb_d)
+                    zb_try[q] = zb_i[q]
+                    rows = _rows_from_state(
+                        zb_i, zb_try, gt_planes, parts, mask_p
                     )
-                    iou_try = c_try.get(p, (0.0, 0.0))[1]
-                    deforms[q]["deform"] = trial
+                    iou_try = rows.get(p, (0.0, 0.0))[1]
                     if iou_try > best_iou:
                         best_q, best_iou = q, iou_try
                 if best_q is not None:
@@ -242,8 +288,9 @@ def enforce_no_regression(
         if not changed:
             break
         grid_def = build_fn(vecs())
-        cells = nb4_exact_cells(
-            grid_init, grid_def, mask_nb4, cam, cache_init=cache_init
+        cells, _, zb_d, gt_planes, parts, mask_p = _nb4_state(
+            grid_init, grid_def, mask_nb4, cam, cache_init=cache_init,
+            zb_i=zb_i,
         )
 
     # refresh the stored per-part IoUs with the exact nb4 deformed values

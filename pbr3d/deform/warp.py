@@ -158,3 +158,103 @@ def build_deformed_grid(
         )
         out = scatter_part(out, c, v, jnp.uint8(config.PART_IDS[part]))
     return np.asarray(out)
+
+
+@functools.partial(jax.jit, static_argnames=("D", "H", "W"))
+def _build_fused(
+    coords: jax.Array,  # (N, 3) int16 — ALL parts concatenated in scatter order
+    labels: jax.Array,  # (N,) uint8
+    valid: jax.Array,  # (N,)
+    slot: jax.Array,  # (N,) int32 — index into the deform/center tables
+    deform_table: jax.Array,  # (S, 4) f32
+    center_table: jax.Array,  # (S, 3) f32 — per-part FULL-set centroids
+    image_hw: jax.Array,  # (2,) int32
+    D: int, H: int, W: int,
+) -> jax.Array:
+    """Every part's warp + the full grid scatter in ONE program.
+
+    Sequential per-part scatters (reference save_deformed_grid,
+    deformation_estimation.py:288-313) resolve voxel collisions by part
+    order, later parts winning.  The same result in one pass: warp all
+    points with their part's deform (a table gather), then take the
+    per-voxel argmax of the scatter-order key ``point_index*7 + jitter`` —
+    monotone in the concatenated part order, so the winner matches the
+    sequential semantics exactly.
+    """
+    pts = coords.astype(jnp.float32)
+    d = deform_table[slot]  # (N, 4)
+    ctr = center_table[slot]  # (N, 3)
+    hw = jnp.asarray(image_hw, jnp.float32)
+    px = W / hw[1]
+    py = H / hw[0]
+    pz = D / hw[1]
+    c = pts - ctr
+    x = c[:, 0] * d[:, 2] + d[:, 3] * px * jnp.sign(c[:, 0])
+    y = c[:, 1] * d[:, 0] - d[:, 1] * py
+    z = c[:, 2] * d[:, 2] + d[:, 3] * pz * jnp.sign(c[:, 2])
+    warped = jnp.stack([x, y, z], axis=-1) + ctr
+    out = warped[None, :, :] + jnp.asarray(_JITTER)[:, None, :]  # (7, N, 3)
+    out = jnp.round(out).astype(jnp.int32)
+    N = coords.shape[0]
+    inb = (
+        (out[..., 0] >= 0) & (out[..., 0] < W)
+        & (out[..., 1] >= 0) & (out[..., 1] < H)
+        & (out[..., 2] >= 0) & (out[..., 2] < D)
+    ) & valid[None, :]
+    vox = out[..., 2] * (H * W) + out[..., 1] * W + out[..., 0]  # (7, N)
+    # scatter-order key: point-major so later PARTS always win collisions
+    order = (jnp.arange(N, dtype=jnp.int32) * 7)[None, :] + jnp.arange(
+        7, dtype=jnp.int32
+    )[:, None]
+    seg = jnp.where(inb, vox, D * H * W)
+    winner = jax.ops.segment_max(
+        jnp.where(inb, order, -1).reshape(-1),
+        seg.reshape(-1),
+        num_segments=D * H * W + 1,
+    )[: D * H * W]
+    lab = jnp.where(
+        winner >= 0,
+        jnp.take(labels, jnp.clip(winner // 7, 0, N - 1)).astype(jnp.uint8),
+        jnp.uint8(0),
+    )
+    return lab.reshape(D, H, W)
+
+
+def build_deformed_grid_fused(
+    part_points: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    deforms: Dict[str, np.ndarray],
+    centers: Dict[str, np.ndarray],
+    image_hw: Tuple[int, int],
+    voxel_shape: Tuple[int, int, int],
+    part_order,
+) -> jax.Array:
+    """One-dispatch rebuild; returns the DEVICE uint8 label grid.
+
+    ``part_points`` may be device-resident padded sets; ``part_order``
+    fixes the collision priority (the reference's save order).  Equivalent
+    to :func:`build_deformed_grid` (same warp, same collision rule).
+    """
+    from pbr3d import config
+
+    coords, labels, valid, slot = [], [], [], []
+    table_d, table_c = [], []
+    for s, part in enumerate(p for p in part_order if p in deforms):
+        pp, vv = part_points[part]
+        n = pp.shape[0]
+        coords.append(np.asarray(pp))
+        valid.append(np.asarray(vv))
+        labels.append(np.full((n,), config.PART_IDS[part], np.uint8))
+        slot.append(np.full((n,), len(table_d), np.int32))
+        table_d.append(np.asarray(deforms[part], np.float32))
+        table_c.append(np.asarray(centers[part], np.float32))
+    D, H, W = (int(v) for v in voxel_shape)
+    return _build_fused(
+        jnp.asarray(np.concatenate(coords)),
+        jnp.asarray(np.concatenate(labels)),
+        jnp.asarray(np.concatenate(valid)),
+        jnp.asarray(np.concatenate(slot)),
+        jnp.asarray(np.stack(table_d)),
+        jnp.asarray(np.stack(table_c)),
+        jnp.asarray(image_hw, jnp.int32),
+        D, H, W,
+    )

@@ -155,6 +155,36 @@ def partwise_zbuffers(
     return zb.reshape(K, H, W)
 
 
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def partwise_zbuffers_grid(
+    grid: jax.Array,  # (D, Hg, Wg) uint8 label grid — DEVICE-resident
+    cam_vec: jax.Array,  # (9,)
+    part_ids: jax.Array,  # (K,) int32
+    true_hw: jax.Array,  # (2,) int32
+    H: int, W: int,
+) -> jax.Array:
+    """(K, H, W) per-part min-Z buffers straight from a dense label grid.
+
+    The voxel coordinates are generated on device (iota), so a grid that
+    is already device-resident (e.g. the fused deformed-grid rebuild)
+    yields all its parts' z-buffers with ZERO host transfer — the
+    stage-3 exact-verify path previously extracted points on the host and
+    re-uploaded ~30 MB per grid.
+    """
+    D, Hg, Wg = grid.shape
+    lab = grid.reshape(-1)
+    idx = jnp.arange(D * Hg * Wg, dtype=jnp.int32)
+    x = (idx % Wg).astype(jnp.float32)
+    y = ((idx // Wg) % Hg).astype(jnp.float32)
+    z = (idx // (Wg * Hg)).astype(jnp.float32)
+    pts = jnp.stack([x, y, z], axis=1)
+    return partwise_zbuffers(
+        pts, lab, lab > 0,
+        cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
+        part_ids, H, W, true_hw=true_hw,
+    )
+
+
 def partwise_iou(
     proj_labels: jax.Array,
     gt_labels: jax.Array,

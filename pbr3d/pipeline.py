@@ -40,23 +40,29 @@ ALIGN_PARTS = ("front_minarets", "back_minarets")  # notebook 2 cells 5/9
 RETRY_IOU_FLOOR = 0.45
 
 
-def _retry_starts(kp_params: Dict, grid_shape):
-    """(tag, init_params, step_scale) second-start family for one view."""
+def _retry_starts(kp_params: Dict, grid_shape, view: str = "drone"):
+    """(tag, init_params, step_scale) second-start family for one view.
+
+    Front views are fronto-parallel: their kp azimuth is unambiguous and
+    the far-basin regime does not apply, so they only get the cheap
+    principal-point start.  Oblique (drone) views get the full family —
+    the 4-fold symmetry leaves their azimuth ambiguous and the golden
+    regime can sit at 2x the distance (the Charminar case)."""
     from pbr3d.camera.geometry import (
         dolly_zoom,
         reparam_principal_point,
         yaw_camera_about_center,
     )
 
-    starts = [
-        ("pp0", reparam_principal_point(kp_params), 1.0),
-        ("dolly2", dolly_zoom(kp_params, 2.0), 2.0),
-    ]
+    starts = [("pp0", reparam_principal_point(kp_params), 1.0)]
+    if view == "front":
+        return starts
+    starts.append(("dolly2", dolly_zoom(kp_params, 2.0), 2.0))
     for deg in (90, 180, 270):
+        # probed head-to-head on the Charminar and Taj drone views, the
+        # dolly-composed yaw starts dominated the bare-yaw ones (e.g. CM:
+        # yaw90 0.456 vs yaw90+dolly2 0.511) — keep only the composed form
         y = yaw_camera_about_center(kp_params, grid_shape, deg)
-        starts.append((f"yaw{deg}", y, 1.0))
-        # the winning Charminar-drone start was yaw90+dolly2 (the golden
-        # basin: right symmetry branch AND the far/narrow-FOV regime)
         starts.append((f"yaw{deg}+dolly2", dolly_zoom(y, 2.0), 2.0))
     return starts
 
@@ -153,7 +159,7 @@ def run_stage2(
             # second starts from the reparameterized family (see
             # _retry_starts / _stage2_all_batched)
             for _tag, init2, scale in _retry_starts(
-                kp_params[view], np.asarray(grid_labels).shape
+                kp_params[view], np.asarray(grid_labels).shape, view
             ):
                 p2, iou2 = refine_camera_mask_iou(
                     grid_labels, mask, list(ALIGN_PARTS), init2,
@@ -227,9 +233,19 @@ def run_stage3(
         pts, _ = cache.points_by_parts([part])
         p, v = pad_points_i16(pts, bucket_size(len(pts)))
         part_points[part] = (p, v)
+    from pbr3d.deform.warp import build_deformed_grid_fused
+
+    centers = {
+        p: cache.points_by_parts([p])[0].mean(axis=0) for p in deforms
+    }
+    part_order = [p for p in config.PART_NAMES if p in deforms]
+
     def build_fn(deform_vecs):
-        return build_deformed_grid(
-            grid_labels, part_points, deform_vecs, mask.shape[:2]
+        # one-dispatch rebuild; returns the DEVICE grid (the exact verify
+        # reads it with dense z-buffer programs, zero host transfer)
+        return build_deformed_grid_fused(
+            part_points, deform_vecs, centers, mask.shape[:2],
+            grid_labels.shape[:3], part_order,
         )
 
     if exact_verify:
@@ -243,6 +259,7 @@ def run_stage3(
             grid_labels, deforms, mask_nb4, cam_final_front, build_fn,
             cache_init=cache,
         )
+        deformed = np.asarray(deformed)
     else:
         deform_vecs = {
             p: np.array(
@@ -250,7 +267,7 @@ def run_stage3(
                  d["deform"]["scale_xz"], d["deform"]["shift_xz"]], np.float32)
             for p, d in deforms.items()
         }
-        deformed = build_fn(deform_vecs)
+        deformed = np.asarray(build_fn(deform_vecs))
     if out_dir is not None:
         base = Path(out_dir) / "3.Part-wise_3D_Refinement"
         save_voxel_grid(base / f"{monument}_deformed_voxel_grid.npz", deformed)
@@ -408,7 +425,7 @@ def _stage2_all_batched(
         jobs2 = {}
         for k, j in retry.items():
             for tag, init, scale in _retry_starts(
-                j["init_params"], np.asarray(j["grid_labels"]).shape
+                j["init_params"], np.asarray(j["grid_labels"]).shape, k[1]
             ):
                 jobs2[(k, tag)] = dict(j, init_params=init, step_scale=scale)
         finals2 = refine_cameras_batched(

@@ -272,3 +272,26 @@ def test_reparam_principal_point_preserves_projection():
         big["f"], big["cx"], big["cy"])
     assert float(jnp.abs(u2 - u0).mean()) < 15.0
     assert float(jnp.abs(v2 - v0).mean()) < 15.0
+
+
+def test_yaw_and_dolly_helpers():
+    import numpy as np
+    from pbr3d.camera.geometry import dolly_zoom, yaw_camera_about_center
+
+    cam = {"cam_pos": np.array([10.0, 20.0, -100.0]),
+           "target": np.array([32.0, 16.0, 32.0]),
+           "f": 200.0, "cx": 32.0, "cy": 32.0}
+    # dolly: distance scales by s, f scales by s, direction preserved
+    d = dolly_zoom(cam, 2.0)
+    v0 = cam["cam_pos"] - cam["target"]
+    v1 = d["cam_pos"] - d["target"]
+    assert np.allclose(v1, 2.0 * v0)
+    assert d["f"] == 400.0
+    # yaw 360 = identity; yaw 90 preserves height and center distance
+    y360 = yaw_camera_about_center(cam, (64, 64, 64), 360.0)
+    assert np.allclose(y360["cam_pos"], cam["cam_pos"])
+    y90 = yaw_camera_about_center(cam, (64, 64, 64), 90.0)
+    c = np.array([32.0, 32.0, 32.0])
+    assert np.isclose(
+        np.linalg.norm(y90["cam_pos"] - c), np.linalg.norm(cam["cam_pos"] - c))
+    assert np.isclose(y90["cam_pos"][1], cam["cam_pos"][1])

@@ -324,3 +324,39 @@ def test_enforce_no_regression_reverts_offender():
     assert out["dome"]["deform"]["scale_xz"] == 1.0  # offender reverted
     after = nb4_exact_cells(grid, grid_def, mask, cam)
     assert after["windows"][1] + 1e-6 >= after["windows"][0]
+
+
+def test_build_deformed_grid_fused_matches_sequential():
+    """The one-dispatch rebuild must reproduce the sequential per-part
+    scatter exactly, including cross-part collision priority (later parts
+    in the order win)."""
+    from pbr3d.deform.warp import build_deformed_grid, build_deformed_grid_fused
+
+    rng = np.random.default_rng(3)
+    size = 32
+    grid = np.zeros((size, size, size), np.uint8)
+    did = config.PART_IDS["dome"]
+    wid = config.PART_IDS["windows"]
+    grid[8:16, 8:20, 8:20] = did
+    grid[14:22, 10:18, 10:18] = wid  # overlaps the dome band after deforms
+
+    def pts_of(pid):
+        d0, d1, d2 = np.where(grid == pid)
+        return np.stack([d2, d1, d0], 1).astype(np.float32)
+
+    part_points = {
+        "dome": (pts_of(did), np.ones(len(pts_of(did)), bool)),
+        "windows": (pts_of(wid), np.ones(len(pts_of(wid)), bool)),
+    }
+    deforms = {
+        "dome": np.array([1.15, -3.0, 1.1, 2.0], np.float32),
+        "windows": np.array([0.9, 4.0, 1.05, -1.0], np.float32),
+    }
+    centers = {p: part_points[p][0].mean(axis=0) for p in part_points}
+
+    seq = build_deformed_grid(grid, part_points, deforms, (size, size))
+    fused = np.asarray(build_deformed_grid_fused(
+        part_points, deforms, centers, (size, size), grid.shape,
+        ["dome", "windows"],
+    ))
+    np.testing.assert_array_equal(seq, fused)
