@@ -209,6 +209,7 @@ def refine_cameras_batched(
     seed: int = 0,
     lock_xy_equal: bool = False,
     coarse_stride: int = 2,
+    polish: bool = True,
 ) -> Dict:
     # per-job dict may carry "step_scale" (default 1.0): proposal-step
     # multiplier for searches whose init sits at a larger world scale than
@@ -258,20 +259,21 @@ def refine_cameras_batched(
 
     # ---- phase 1: grouped coarse random search ----
     # per-view stride: at least ``coarse_stride``, and enough to keep every
-    # strided shell <= 32k points (the shared bucket B is the max over the
-    # group, and every view PAYS B — candidate cost is linear in points)
+    # strided shell <= 32k points (candidate cost is linear in points)
     for p in prep.values():
         p["stride"] = max(coarse_stride, -(-len(p["pts"]) // 32768))
-    B = max(bucket_size(len(p["pts"][:: p["stride"]])) for p in prep.values())
-    groups: Dict[Tuple[int, int], list] = {}
+        p["bucket"] = bucket_size(len(p["pts"][:: p["stride"]]))
+    # group by (plane bucket, point bucket): views in a group share one
+    # program AND pay only their own size class
+    groups: Dict[Tuple[Tuple[int, int], int], list] = {}
     for k in keys:
         cm = prep[k]["coarse_mask"]
         hw = tuple(-(-x // 128) * 128 for x in cm.shape[:2])
-        groups.setdefault(hw, []).append(k)
+        groups.setdefault((hw, prep[k]["bucket"]), []).append(k)
 
     coarse_best: Dict = {}
     pending = []
-    for (Hp, Wp), gkeys in groups.items():
+    for ((Hp, Wp), B), gkeys in groups.items():
         V = len(gkeys)
         pts_b = np.zeros((V, B, 3), np.float32)
         lab_b = np.zeros((V, B), np.uint8)
@@ -305,13 +307,40 @@ def refine_cameras_batched(
         )
         pending.append((gkeys, out))
     # collect (blocks; all groups were already enqueued)
-    for gkeys, (best, _) in pending:
+    coarse_iou: Dict = {}
+    for gkeys, (best, biou) in pending:
         best = np.asarray(best, np.float64)
+        biou = np.asarray(biou, np.float64)
         for i, k in enumerate(gkeys):
             s = prep[k]["s"]
             vec = best[i].copy()
             vec[6:9] *= s  # f, cx, cy back to native pixels
             coarse_best[k] = vec
+            coarse_iou[k] = float(biou[i])
+
+    if not polish:
+        # coarse-only mode: rank-quality results without the native CD
+        # polish (used to triage second-start families cheaply; the IoU is
+        # measured at the coarse resolution — comparable across starts of
+        # the same view)
+        out = {}
+        for k in keys:
+            p = prep[k]
+            params = vector_to_params(jnp.asarray(coarse_best[k]),
+                                      H=p["H"], W=p["W"])
+            out[k] = (
+                {
+                    "cam_pos": np.asarray(params["cam_pos"], np.float64),
+                    "target": np.asarray(params["target"], np.float64),
+                    "f": float(params["f"]),
+                    "cx": float(params["cx"]),
+                    "cy": float(params["cy"]),
+                    "H": p["H"],
+                    "W": p["W"],
+                },
+                coarse_iou[k],
+            )
+        return out
 
     # ---- phase 2: native-resolution CD polish, all enqueued async ----
     results = {}

@@ -368,7 +368,10 @@ def _stage2_all_batched(
 
     jobs: Dict = {}
     cameras: Dict[str, Dict[str, Dict[str, Dict]]] = {}
-    for m in monuments:
+
+    def prep_monument(m: str):
+        """Host-side per-monument prep (3D labeling, 2D regions, LM fit) —
+        numpy/scipy release the GIL, so a small pool overlaps monuments."""
         grid = grids[m]
         max_dim = int(np.max(grid.shape))
         views = {
@@ -380,7 +383,8 @@ def _stage2_all_batched(
         except ValueError:
             vox_parts = None
         shell = surface_points_by_parts(grid, list(ALIGN_PARTS))
-        cameras[m] = {"init": {}, "kp": {}, "final": {}}
+        cams = {"init": {}, "kp": {}, "final": {}}
+        mjobs = {}
         for view, mask in views.items():
             try:
                 vox_kps, img_kps = extract_minaret_kps_for_view(
@@ -392,15 +396,25 @@ def _stage2_all_batched(
             except ValueError as e:
                 print(f"[stage2] {m}/{view} skipped: {e}", file=sys.stderr)
                 continue
-            cameras[m]["init"][view] = init
+            cams["init"][view] = init
             kp = optimize_camera_with_keypoints(
                 vox_kps, img_kps, mask.shape[:2], init
             )
-            cameras[m]["kp"][view] = kp
-            jobs[(m, view)] = dict(
+            cams["kp"][view] = kp
+            mjobs[(m, view)] = dict(
                 grid_labels=grid, mask_labels=mask, parts=list(ALIGN_PARTS),
                 init_params=kp, points=shell,
             )
+        return cams, mjobs
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = {m: ex.submit(prep_monument, m) for m in monuments}
+        for m in monuments:
+            cams, mjobs = futs[m].result()
+            cameras[m] = cams
+            jobs.update(mjobs)
 
     if not jobs:
         return cameras
@@ -428,8 +442,24 @@ def _stage2_all_batched(
                 j["init_params"], np.asarray(j["grid_labels"]).shape, k[1]
             ):
                 jobs2[(k, tag)] = dict(j, init_params=init, step_scale=scale)
+        # triage: coarse-only search over the whole family, then spend the
+        # native-resolution polish on the top two starts per view only
+        coarse = refine_cameras_batched(
+            jobs2, generations=generations, population=population,
+            seed=seed + 1, polish=False,
+        )
+        by_view: Dict = {}
+        for (k, tag), (params, iou) in coarse.items():
+            by_view.setdefault(k, []).append((iou, tag))
+        jobs3 = {}
+        for k, ranked in by_view.items():
+            for _, tag in sorted(ranked, reverse=True)[:2]:
+                jobs3[(k, tag)] = dict(
+                    jobs2[(k, tag)],
+                    init_params=coarse[(k, tag)][0],
+                )
         finals2 = refine_cameras_batched(
-            jobs2, generations=generations, population=population, seed=seed + 1
+            jobs3, generations=0, population=population, seed=seed + 1
         )
         for (k, tag), (params, iou) in finals2.items():
             if iou > finals[k][1]:
