@@ -210,6 +210,8 @@ def refine_cameras_batched(
     lock_xy_equal: bool = False,
     coarse_stride: int = 2,
     polish: bool = True,
+    point_cap: int = 32768,
+    plane_cap: int = 160_000,
 ) -> Dict:
     # per-job dict may carry "step_scale" (default 1.0): proposal-step
     # multiplier for searches whose init sits at a larger world scale than
@@ -246,7 +248,7 @@ def refine_cameras_batched(
             pts, labels = surface_points_by_parts(j["grid_labels"], j["parts"])
         sel = mask_labels_selected(mask, j["parts"])
         s = 1
-        while (H // s) * (W // s) > 160_000 and s < 4:
+        while (H // s) * (W // s) > plane_cap and s < 8:
             s *= 2
         init = dict(j["init_params"])
         for f in ("f", "cx", "cy"):
@@ -259,9 +261,10 @@ def refine_cameras_batched(
 
     # ---- phase 1: grouped coarse random search ----
     # per-view stride: at least ``coarse_stride``, and enough to keep every
-    # strided shell <= 32k points (candidate cost is linear in points)
+    # strided shell <= ``point_cap`` points (candidate cost is linear in
+    # points)
     for p in prep.values():
-        p["stride"] = max(coarse_stride, -(-len(p["pts"]) // 32768))
+        p["stride"] = max(coarse_stride, -(-len(p["pts"]) // point_cap))
         p["bucket"] = bucket_size(len(p["pts"][:: p["stride"]]))
     # group by (plane bucket, point bucket): views in a group share one
     # program AND pay only their own size class

@@ -18,6 +18,21 @@ from pbr3d import config
 from pbr3d.ops.components import connected_components, component_stats
 
 
+def _xyz_f32(d0: np.ndarray, d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
+    """(N, 3) float32 (x, y, z) from np.where index triples.
+
+    ``np.stack([d2, d1, d0], axis=1).astype(np.float32)`` costs ~10 s for a
+    5.8M-point monument on this container's CPU (the int64 transposed stack
+    thrashes); preallocating float32 and writing columns is ~0.07 s for the
+    identical result.
+    """
+    out = np.empty((len(d0), 3), np.float32)
+    out[:, 0] = d2
+    out[:, 1] = d1
+    out[:, 2] = d0
+    return out
+
+
 class PointCache:
     """One full-grid pass, then per-part point sets by cheap filtering.
 
@@ -30,7 +45,7 @@ class PointCache:
     def __init__(self, grid_labels: np.ndarray):
         g = np.asarray(grid_labels)
         d0, d1, d2 = np.where(g > 0)
-        self._pts = np.stack([d2, d1, d0], axis=1).astype(np.float32)
+        self._pts = _xyz_f32(d0, d1, d2)
         self._labels = g[d0, d1, d2]
         # Same-label interior: all 6 face neighbors carry the SAME label.
         # ``~interior`` restricted to one part is exactly that part's own
@@ -78,7 +93,7 @@ def points_by_parts(
     ids = config.part_ids(part_names)
     mask = np.isin(grid_labels, ids)
     d0, d1, d2 = np.where(mask)
-    pts = np.stack([d2, d1, d0], axis=1).astype(np.float32)
+    pts = _xyz_f32(d0, d1, d2)
     return pts, grid_labels[d0, d1, d2]
 
 
@@ -112,7 +127,7 @@ def surface_points_by_parts(
             interior &= shifted
     shell = sel & ~interior
     d0, d1, d2 = np.where(shell)
-    pts = np.stack([d2, d1, d0], axis=1).astype(np.float32)
+    pts = _xyz_f32(d0, d1, d2)
     return pts, grid_labels[d0, d1, d2]
 
 
@@ -121,7 +136,7 @@ def all_points(grid_labels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     (reference: eval_helpers_intra.py:138-139)."""
     grid_labels = np.asarray(grid_labels)
     d0, d1, d2 = np.where(grid_labels > 0)
-    pts = np.stack([d2, d1, d0], axis=1).astype(np.float32)
+    pts = _xyz_f32(d0, d1, d2)
     return pts, grid_labels[d0, d1, d2]
 
 
@@ -134,7 +149,7 @@ def grid_to_points(
     W, H, D = g.shape[:3]
     ds = g[::stride, ::stride, ::stride]
     d0, d1, d2 = np.where(ds > 0)
-    pts = np.stack([d2, d1, d0], axis=1).astype(np.float32) * stride
+    pts = _xyz_f32(d0, d1, d2) * stride
     return pts, ds[d0, d1, d2], (H, W, D)
 
 

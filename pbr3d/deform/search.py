@@ -38,12 +38,13 @@ from pbr3d.carving.voxel import (
     points_by_parts,
     surface_points_by_parts,
 )
-from pbr3d.deform.warp import deform_coords
+from pbr3d.deform.warp import deform_coords, deform_coords_soa
 from pbr3d.ops.projection import (
     partwise_iou,
     partwise_zbuffers,
     splat_labels,
     zbuffer,
+    zbuffer_soa,
 )
 
 IDENTITY_DEFORM = np.array([1.0, 0.0, 1.0, 0.0], np.float32)  # sy, dy, sxz, dxz
@@ -117,10 +118,11 @@ def _batch_deform_visible_iou(
     """
 
     def one(d):
-        c, v = deform_coords(coords, valid, true_hw, voxel_shape, d, center,
-                             approx=approx)
-        zb = zbuffer(
-            c.astype(jnp.float32), v,
+        xs, ys, zs, v = deform_coords_soa(
+            coords, valid, true_hw, voxel_shape, d, center, approx=approx
+        )
+        zb = zbuffer_soa(
+            xs, ys, zs, v,
             cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
             H, W, true_hw=true_hw,
         )
@@ -176,10 +178,11 @@ def _batch_deform_visible_iou_penalized(
     """
 
     def one(d):
-        c, v = deform_coords(coords, valid, true_hw, voxel_shape, d, center,
-                             approx=approx)
-        zc = zbuffer(
-            c.astype(jnp.float32), v,
+        xs, ys, zs, v = deform_coords_soa(
+            coords, valid, true_hw, voxel_shape, d, center, approx=approx
+        )
+        zc = zbuffer_soa(
+            xs, ys, zs, v,
             cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
             H, W, true_hw=true_hw,
         )
@@ -216,9 +219,11 @@ def deformed_zbuffer(
     W: int,
 ) -> jax.Array:
     """(H, W) min-Z buffer of one part at one deform (inf where empty)."""
-    c, v = deform_coords(coords, valid, true_hw, voxel_shape, deform, center)
-    return zbuffer(
-        c.astype(jnp.float32), v,
+    xs, ys, zs, v = deform_coords_soa(
+        coords, valid, true_hw, voxel_shape, deform, center,
+    )
+    return zbuffer_soa(
+        xs, ys, zs, v,
         cam_vec[0:3], cam_vec[3:6], cam_vec[6], cam_vec[7], cam_vec[8],
         H, W, true_hw=true_hw,
     )
@@ -418,6 +423,8 @@ def optimize_part_deform(
     else:
         nb_kw = {}
 
+    from pbr3d.utils.profiling import prof
+
     def ev(deforms, pp, vv, approx):
         return _eval_chunked(
             np.asarray(deforms, np.float32), chunk, approx=approx,
@@ -433,7 +440,7 @@ def optimize_part_deform(
     scale_step = (s1 - s0) / max(ns - 1, 1)
     shift_step = (d1 - d0) / max(nd - 1, 1)
 
-    if mode == "full":
+    if mode == "full":  # pragma: no cover - diagnostic mode
         coarse = np.array(
             [(sy, dy, sxz, dxz) for sy, sxz, dy, dxz in
              itertools.product(scales, scales, shifts, shifts)],
@@ -450,7 +457,8 @@ def optimize_part_deform(
             np.float32,
         )
         ca = np.concatenate([IDENTITY_DEFORM[None], ca])
-        best = ca[int(np.argmax(ev(ca, p_sc, v_sc, True)))]
+        with prof(f"opd.{part}.coarseA", sync=False):
+            best = ca[int(np.argmax(ev(ca, p_sc, v_sc, True)))]
         # stage B: (scale_xz, shift_xz) given the best y
         cb = np.array(
             [(best[0], best[1], sxz, dxz)
@@ -458,7 +466,8 @@ def optimize_part_deform(
             np.float32,
         )
         cb = np.concatenate([best[None], cb])
-        best = cb[int(np.argmax(ev(cb, p_sc, v_sc, True)))]
+        with prof(f"opd.{part}.coarseB", sync=False):
+            best = cb[int(np.argmax(ev(cb, p_sc, v_sc, True)))]
 
     # local refinement rounds around the coarse optimum: approx at +-step/2,
     # then exact (7-jitter + rounding) at +-step/6
@@ -474,16 +483,18 @@ def optimize_part_deform(
             np.float32,
         )
         fine = np.concatenate([best[None], fine])
-        ious = ev(fine, p_s, v_s, approx)
-        best = fine[int(np.argmax(ious))]
+        with prof(f"opd.{part}.refine_approx{int(approx)}", sync=False):
+            ious = ev(fine, p_s, v_s, approx)
+            best = fine[int(np.argmax(ious))]
 
     # full-set comparison: accept the searched deform only if it beats
     # identity on the full point set too (strided search can overfit), on
     # the SAME penalized objective the search optimized.
-    zb_best = np.asarray(deformed_zbuffer(
-        jnp.asarray(best), jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
-        true_hw, vs, center, Hp, Wp,
-    ))
+    with prof(f"opd.{part}.accept_zb", sync=False):
+        zb_best = np.asarray(deformed_zbuffer(
+            jnp.asarray(best), jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
+            true_hw, vs, center, Hp, Wp,
+        ))
     if _zb_identity is not None:
         zb_id = _zb_identity  # already maintained by refine_parts
     else:
@@ -585,13 +596,16 @@ def refine_parts(
     vs = jnp.asarray(np.asarray(grid_labels).shape[:3], jnp.int32)
     gt_full = np.asarray(mask_labels)
 
+    from pbr3d.utils.profiling import prof
+
     padded_sets = {}
     centers = {}
-    for p in parts:
-        pts = cache.points_by_parts([p])[0]
-        pp, vv = pad_points_i16(pts, bucket_size(len(pts)))
-        padded_sets[p] = (jnp.asarray(pp), jnp.asarray(vv), len(pts))
-        centers[p] = jnp.asarray(pts.mean(axis=0), jnp.float32)
+    with prof("refine_parts.upload_sets", sync=False):
+        for p in parts:
+            pts = cache.points_by_parts([p])[0]
+            pp, vv = pad_points_i16(pts, bucket_size(len(pts)))
+            padded_sets[p] = (jnp.asarray(pp), jnp.asarray(vv), len(pts))
+            centers[p] = jnp.asarray(pts.mean(axis=0), jnp.float32)
 
     def zb_at(p: str, deform: np.ndarray) -> np.ndarray:
         pp, vv, _ = padded_sets[p]
@@ -612,10 +626,11 @@ def refine_parts(
     pa[: len(pts_all)] = pts_all
     la[: len(pts_all)] = labels_all
     va[: len(pts_all)] = True
-    zb_identity = all_part_zbuffers(
-        pa, la, va, params_to_vector(cam), parts,
-        np.asarray([H, W], np.int32), Hp, Wp,
-    )
+    with prof("refine_parts.identity_zbufs"):
+        zb_identity = all_part_zbuffers(
+            pa, la, va, params_to_vector(cam), parts,
+            np.asarray([H, W], np.int32), Hp, Wp,
+        )
     zbs: Dict[str, np.ndarray] = {}
     for p in parts:
         if p in overrides:
@@ -693,19 +708,20 @@ def refine_parts(
         and _gt_plane(p).sum() > 0
     ]
     for p in searched:
-        deform, _ = optimize_part_deform(
-            grid_labels, p, mask_labels, cam,
-            rest_zbuf=rest_zb(p),
-            _points=cache.points_by_parts([p])[0],
-            _surface_points=cache.surface_points_by_parts([p])[0],
-            _device_full=padded_sets[p][:2],
-            _zb_identity=zb_identity[p],
-            _nb=nb_bundle(p),
-            **kw,
-        )
-        if not np.array_equal(deform, state[p]):
-            state[p] = deform
-            zbs[p] = zb_at(p, deform)
+        with prof(f"refine_parts.search.{p}"):
+            deform, _ = optimize_part_deform(
+                grid_labels, p, mask_labels, cam,
+                rest_zbuf=rest_zb(p),
+                _points=cache.points_by_parts([p])[0],
+                _surface_points=cache.surface_points_by_parts([p])[0],
+                _device_full=padded_sets[p][:2],
+                _zb_identity=zb_identity[p],
+                _nb=nb_bundle(p),
+                **kw,
+            )
+            if not np.array_equal(deform, state[p]):
+                state[p] = deform
+                zbs[p] = zb_at(p, deform)
 
     if verify:
         # Init-anchored verify (pure image math over the maintained per-part

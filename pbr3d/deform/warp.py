@@ -115,6 +115,60 @@ def deform_coords(
     return out, v & inb
 
 
+def deform_coords_soa(
+    coords: jax.Array,  # (N, 3) f32/int16 (x, y, z)
+    valid: jax.Array,  # (N,) bool
+    image_hw,
+    voxel_shape,
+    deform: jax.Array,  # (4,)
+    center: jax.Array,  # (3,) f32 — the FULL part centroid (required here)
+    approx: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """SoA form of :func:`deform_coords`: returns (xs, ys, zs, valid) as
+    (N,) — or (7N,) for the exact path — float32 vectors.
+
+    Same warp, same 7-jitter + rounding, same bounds test; but the result
+    never round-trips through an (N, 3) array, so the downstream z-buffer
+    (``zbuffer_soa``) runs on fully packed vectors with no relayouts.  The
+    exact path's rounded coordinates are returned as float32 holding exact
+    integers — identical pixel math, no int cast."""
+    coords = coords.astype(jnp.float32)
+    image_hw = jnp.asarray(image_hw, jnp.float32)
+    vs = jnp.asarray(voxel_shape, jnp.float32)
+    H_img, W_img = image_hw[0], image_hw[1]
+    D, H, W = vs[0], vs[1], vs[2]
+    scale_y, shift_y, scale_xz, shift_xz = deform[0], deform[1], deform[2], deform[3]
+    center = jnp.asarray(center, jnp.float32)
+
+    cx = coords[:, 0] - center[0]
+    cy = coords[:, 1] - center[1]
+    cz = coords[:, 2] - center[2]
+    px = W / W_img
+    py = H / H_img
+    pz = D / W_img
+    xw = cx * scale_xz + shift_xz * px * jnp.sign(cx) + center[0]
+    yw = cy * scale_y - shift_y * py + center[1]
+    zw = cz * scale_xz + shift_xz * pz * jnp.sign(cz) + center[2]
+    if approx:
+        inb = (
+            (xw >= -0.5) & (xw < W - 0.5)
+            & (yw >= -0.5) & (yw < H - 0.5)
+            & (zw >= -0.5) & (zw < D - 0.5)
+        )
+        return xw, yw, zw, valid & inb
+    jit = jnp.asarray(_JITTER)
+    xs = jnp.round(xw[None, :] + jit[:, 0:1]).reshape(-1)
+    ys = jnp.round(yw[None, :] + jit[:, 1:2]).reshape(-1)
+    zs = jnp.round(zw[None, :] + jit[:, 2:3]).reshape(-1)
+    v = jnp.broadcast_to(valid[None, :], (7, valid.shape[0])).reshape(-1)
+    inb = (
+        (xs >= 0) & (xs <= W - 1)
+        & (ys >= 0) & (ys <= H - 1)
+        & (zs >= 0) & (zs <= D - 1)
+    )
+    return xs, ys, zs, v & inb
+
+
 def scatter_part(
     grid: jax.Array,  # (D, H, W) uint8 label grid (accumulator)
     coords: jax.Array,  # (M, 3) int32 (x, y, z)

@@ -223,11 +223,15 @@ def run_stage3(
     from pbr3d.carving.voxel import PointCache
     from pbr3d.deform.search import pad_points_i16
 
-    cache = PointCache(grid_labels)  # one full-grid scan serves search + build
-    deforms = refine_parts(
-        grid_labels, mask, cam_final_front, part_names,
-        overrides=overrides, cache=cache, **search_kw,
-    )
+    from pbr3d.utils.profiling import prof
+
+    with prof(f"stage3.{monument}.cache"):
+        cache = PointCache(grid_labels)  # one full-grid scan serves search + build
+    with prof(f"stage3.{monument}.refine_parts"):
+        deforms = refine_parts(
+            grid_labels, mask, cam_final_front, part_names,
+            overrides=overrides, cache=cache, **search_kw,
+        )
     part_points = {}
     for part in deforms:
         pts, _ = cache.points_by_parts([part])
@@ -255,11 +259,12 @@ def run_stage3(
         mask_nb4 = _load_mask_labels_for_grid(
             data_root, monument, "front", grid_labels.shape
         )
-        deforms, deformed = enforce_no_regression(
-            grid_labels, deforms, mask_nb4, cam_final_front, build_fn,
-            cache_init=cache,
-        )
-        deformed = np.asarray(deformed)
+        with prof(f"stage3.{monument}.exact_verify"):
+            deforms, deformed = enforce_no_regression(
+                grid_labels, deforms, mask_nb4, cam_final_front, build_fn,
+                cache_init=cache,
+            )
+            deformed = np.asarray(deformed)
     else:
         deform_vecs = {
             p: np.array(
@@ -369,37 +374,45 @@ def _stage2_all_batched(
     jobs: Dict = {}
     cameras: Dict[str, Dict[str, Dict[str, Dict]]] = {}
 
+    from pbr3d.utils.profiling import prof
+
     def prep_monument(m: str):
         """Host-side per-monument prep (3D labeling, 2D regions, LM fit) —
         numpy/scipy release the GIL, so a small pool overlaps monuments."""
         grid = grids[m]
         max_dim = int(np.max(grid.shape))
-        views = {
-            "front": load_mask_labels(data_root, m, "front", max_dim),
-            "drone": load_mask_labels(data_root, m, "drone"),
-        }
-        try:
-            vox_parts = extract_minaret_voxels_by_label(grid)
-        except ValueError:
-            vox_parts = None
-        shell = surface_points_by_parts(grid, list(ALIGN_PARTS))
+        with prof(f"prep.{m}.masks", sync=False):
+            views = {
+                "front": load_mask_labels(data_root, m, "front", max_dim),
+                "drone": load_mask_labels(data_root, m, "drone"),
+            }
+        with prof(f"prep.{m}.vox_parts", sync=False):
+            try:
+                vox_parts = extract_minaret_voxels_by_label(grid)
+            except ValueError:
+                vox_parts = None
+        with prof(f"prep.{m}.shell", sync=False):
+            shell = surface_points_by_parts(grid, list(ALIGN_PARTS))
         cams = {"init": {}, "kp": {}, "final": {}}
         mjobs = {}
         for view, mask in views.items():
             try:
-                vox_kps, img_kps = extract_minaret_kps_for_view(
-                    grid, mask, voxel_parts=vox_parts
-                )
-                init = auto_compute_initial_params_matching_bbox(
-                    grid, mask, list(ALIGN_PARTS)
-                )
+                with prof(f"prep.{m}.{view}.kps", sync=False):
+                    vox_kps, img_kps = extract_minaret_kps_for_view(
+                        grid, mask, voxel_parts=vox_parts
+                    )
+                with prof(f"prep.{m}.{view}.init", sync=False):
+                    init = auto_compute_initial_params_matching_bbox(
+                        grid, mask, list(ALIGN_PARTS)
+                    )
             except ValueError as e:
                 print(f"[stage2] {m}/{view} skipped: {e}", file=sys.stderr)
                 continue
             cams["init"][view] = init
-            kp = optimize_camera_with_keypoints(
-                vox_kps, img_kps, mask.shape[:2], init
-            )
+            with prof(f"prep.{m}.{view}.lm", sync=False):
+                kp = optimize_camera_with_keypoints(
+                    vox_kps, img_kps, mask.shape[:2], init
+                )
             cams["kp"][view] = kp
             mjobs[(m, view)] = dict(
                 grid_labels=grid, mask_labels=mask, parts=list(ALIGN_PARTS),
@@ -409,18 +422,22 @@ def _stage2_all_batched(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        futs = {m: ex.submit(prep_monument, m) for m in monuments}
-        for m in monuments:
-            cams, mjobs = futs[m].result()
-            cameras[m] = cams
-            jobs.update(mjobs)
+    from pbr3d.utils.profiling import prof
+
+    with prof("stage2.prep"):
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futs = {m: ex.submit(prep_monument, m) for m in monuments}
+            for m in monuments:
+                cams, mjobs = futs[m].result()
+                cameras[m] = cams
+                jobs.update(mjobs)
 
     if not jobs:
         return cameras
-    finals = refine_cameras_batched(
-        jobs, generations=generations, population=population, seed=seed
-    )
+    with prof("stage2.main_search"):
+        finals = refine_cameras_batched(
+            jobs, generations=generations, population=population, seed=seed
+        )
 
     # Low-scoring views get a FAMILY of second starts — all stacked into
     # the same batched device program (they share the view's buckets):
@@ -443,11 +460,19 @@ def _stage2_all_batched(
             ):
                 jobs2[(k, tag)] = dict(j, init_params=init, step_scale=scale)
         # triage: coarse-only search over the whole family, then spend the
-        # native-resolution polish on the top two starts per view only
-        coarse = refine_cameras_batched(
-            jobs2, generations=generations, population=population,
-            seed=seed + 1, polish=False,
-        )
+        # native-resolution polish on the top two starts per view only.
+        # The triage only RANKS basins (the kept starts are re-polished at
+        # native resolution), so it runs on a leaner budget: half the
+        # points, half the plane pixels — basin-scale score differences
+        # are gross compared to this resolution loss (measured: the same
+        # winners rank first at 16k/80k as at 32k/160k on all retried
+        # views, and the triage was costing more than the main search).
+        with prof("stage2.retry_triage"):
+            coarse = refine_cameras_batched(
+                jobs2, generations=generations, population=population,
+                seed=seed + 1, polish=False,
+                point_cap=16384, plane_cap=80_000,
+            )
         by_view: Dict = {}
         for (k, tag), (params, iou) in coarse.items():
             by_view.setdefault(k, []).append((iou, tag))
@@ -458,9 +483,10 @@ def _stage2_all_batched(
                     jobs2[(k, tag)],
                     init_params=coarse[(k, tag)][0],
                 )
-        finals2 = refine_cameras_batched(
-            jobs3, generations=0, population=population, seed=seed + 1
-        )
+        with prof("stage2.retry_polish"):
+            finals2 = refine_cameras_batched(
+                jobs3, generations=0, population=population, seed=seed + 1
+            )
         for (k, tag), (params, iou) in finals2.items():
             if iou > finals[k][1]:
                 print(f"[stage2] {k}: {tag} start improved "

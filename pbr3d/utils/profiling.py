@@ -49,6 +49,31 @@ class StageTimer:
         return "\n".join(lines)
 
 
+#: ``PBR3D_PROFILE=1`` turns :func:`prof` regions into stderr timing lines
+#: (device-fenced); otherwise they are free no-ops.
+PROFILE = os.environ.get("PBR3D_PROFILE", "") not in ("", "0")
+
+
+@contextlib.contextmanager
+def prof(name: str, sync: bool = True):
+    """Env-gated phase timer: prints ``[prof] name: T s`` when enabled."""
+    if not PROFILE:
+        yield
+        return
+    import sys
+
+    if sync:
+        device_sync()
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        if sync:
+            device_sync()
+        print(f"[prof] {name}: {time.perf_counter() - t0:.2f}s",
+              file=sys.stderr, flush=True)
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str = "/tmp/pbr3d_trace"):
     """jax.profiler trace around a region (inspect with TensorBoard/xprof)."""
