@@ -563,6 +563,7 @@ def refine_parts(
     overrides: Optional[Dict[str, Dict]] = None,
     verify: bool = True,
     cache=None,
+    zb_identity_out: Optional[Dict[str, np.ndarray]] = None,
     **kw,
 ) -> Dict[str, Dict]:
     """Optimize every (present) part; returns {part: {deform, iou}} like the
@@ -631,6 +632,11 @@ def refine_parts(
             pa, la, va, params_to_vector(cam), parts,
             np.asarray([H, W], np.int32), Hp, Wp,
         )
+    if zb_identity_out is not None:
+        # export for the exact-verify pass: identical to the dense-grid
+        # z-buffers (same occupied voxels, same projection), saving it the
+        # full init-grid re-upload + reduction (deform/verify._nb4_state)
+        zb_identity_out.update(zb_identity)
     zbs: Dict[str, np.ndarray] = {}
     for p in parts:
         if p in overrides:

@@ -154,6 +154,8 @@ def _nb4_state(
     """(cells, zb_i, zb_d, gt_planes, parts, mask_p) for the rebuilt grid.
     ``zb_i`` (init z-buffers) can be reused across rebuilds — the init grid
     never changes inside the verify loop."""
+    from pbr3d.utils.profiling import prof
+
     H, W = np.asarray(mask_nb4).shape[:2]
     Hp, Wp = _pad_plane_hw(H, W)
     cache_init = cache_init or PointCache(grid_init)
@@ -166,14 +168,22 @@ def _nb4_state(
     for p in parts:
         gt_planes[p] = mask_p == config.PART_IDS[p]
 
+    if zb_i is not None and (
+        any(p not in zb_i for p in parts)
+        or any(np.asarray(zb_i[p]).shape != (Hp, Wp) for p in parts)
+    ):
+        zb_i = None  # incompatible precompute — fall back to the dense pass
     if zb_i is None:
-        zb_i = _part_zbufs_grid(grid_init, cam, H, W, parts)
+        with prof("verify.zb_init", sync=False):
+            zb_i = _part_zbufs_grid(grid_init, cam, H, W, parts)
     # Parts may vanish from the rebuilt grid (fully overwritten): their
     # deformed z-buffer is empty (inf) and the cell reads ~0, as in nb4.
     # ``grid_def`` may be a DEVICE array (the fused rebuild) — the dense
     # z-buffer program reads it without any host round-trip.
-    zb_d = _part_zbufs_grid(grid_def, cam, H, W, parts)
-    cells = _rows_from_state(zb_i, zb_d, gt_planes, parts, mask_p)
+    with prof("verify.zb_def", sync=False):
+        zb_d = _part_zbufs_grid(grid_def, cam, H, W, parts)
+    with prof("verify.rows", sync=False):
+        cells = _rows_from_state(zb_i, zb_d, gt_planes, parts, mask_p)
     return cells, zb_i, zb_d, gt_planes, parts, mask_p
 
 
@@ -203,6 +213,7 @@ def enforce_no_regression(
     build_fn,
     max_rounds: int = 3,
     cache_init: Optional[PointCache] = None,
+    zb_i: Optional[Dict[str, np.ndarray]] = None,
 ) -> Tuple[Dict[str, Dict], np.ndarray]:
     """Rebuild→verify→revert loop: returns (possibly-updated deforms, grid).
 
@@ -211,6 +222,11 @@ def enforce_no_regression(
     caller).  Any nb4 cell that regresses init→deformed gets its part
     reverted to identity; if the regressed part is already identity, the
     deformed part whose revert recovers it most is reverted instead.
+
+    ``zb_i`` — optional precomputed init-grid per-part z-buffers (e.g. the
+    search's identity z-buffers, which are point-set equivalents of the
+    dense-grid reduction); used only if they cover every present part at
+    the right plane shape.
     """
     def vecs():
         return {
@@ -220,11 +236,16 @@ def enforce_no_regression(
             for p, d in deforms.items()
         }
 
+    from pbr3d.utils.profiling import prof
+
     cache_init = cache_init or PointCache(grid_init)
-    grid_def = build_fn(vecs())
-    cells, zb_i, zb_d, gt_planes, parts, mask_p = _nb4_state(
-        grid_init, grid_def, mask_nb4, cam, cache_init=cache_init
-    )
+    with prof("verify.build", sync=False):
+        grid_def = build_fn(vecs())
+    with prof("verify.nb4_state", sync=False):
+        cells, zb_i, zb_d, gt_planes, parts, mask_p = _nb4_state(
+            grid_init, grid_def, mask_nb4, cam, cache_init=cache_init,
+            zb_i=zb_i,
+        )
 
     def _tol(p: str) -> float:
         # Part cells must not regress AT ALL.  The aggregate rows get small

@@ -227,10 +227,12 @@ def run_stage3(
 
     with prof(f"stage3.{monument}.cache"):
         cache = PointCache(grid_labels)  # one full-grid scan serves search + build
+    zb_identity: Dict = {}
     with prof(f"stage3.{monument}.refine_parts"):
         deforms = refine_parts(
             grid_labels, mask, cam_final_front, part_names,
-            overrides=overrides, cache=cache, **search_kw,
+            overrides=overrides, cache=cache, zb_identity_out=zb_identity,
+            **search_kw,
         )
     part_points = {}
     for part in deforms:
@@ -262,7 +264,7 @@ def run_stage3(
         with prof(f"stage3.{monument}.exact_verify"):
             deforms, deformed = enforce_no_regression(
                 grid_labels, deforms, mask_nb4, cam_final_front, build_fn,
-                cache_init=cache,
+                cache_init=cache, zb_i=zb_identity or None,
             )
             deformed = np.asarray(deformed)
     else:

@@ -326,6 +326,47 @@ def test_enforce_no_regression_reverts_offender():
     assert after["windows"][1] + 1e-6 >= after["windows"][0]
 
 
+def test_point_set_identity_zbuffers_match_dense_grid():
+    """The search's identity z-buffers (point-set segment reduction) must
+    equal the verify's dense-grid reduction bit-for-bit — the zb_i-reuse
+    path in enforce_no_regression depends on this equivalence."""
+    from pbr3d.camera.geometry import params_to_vector
+    from pbr3d.carving.voxel import bucket_size
+    from pbr3d.deform.search import all_part_zbuffers
+    from pbr3d.deform.verify import _part_zbufs_grid
+
+    rng = np.random.default_rng(3)
+    size = 40
+    grid = np.zeros((size, size, size), np.uint8)
+    did, wid = config.PART_IDS["dome"], config.PART_IDS["windows"]
+    grid[rng.random((size,) * 3) < 0.05] = did
+    grid[rng.random((size,) * 3) < 0.03] = wid
+    cam = _simple_cam(size)
+    H = W = size
+    from pbr3d.deform.search import _pad_plane_hw
+
+    Hp, Wp = _pad_plane_hw(H, W)
+    parts = ["dome", "windows"]
+
+    d0, d1, d2 = np.where(grid > 0)
+    pts = np.stack([d2, d1, d0], 1).astype(np.int16)
+    labs = grid[d0, d1, d2]
+    n = bucket_size(len(pts))
+    pa = np.zeros((n, 3), np.int16)
+    la = np.zeros((n,), np.uint8)
+    va = np.zeros((n,), bool)
+    pa[: len(pts)] = pts
+    la[: len(pts)] = labs
+    va[: len(pts)] = True
+    zb_pts = all_part_zbuffers(
+        pa, la, va, params_to_vector(cam), parts,
+        np.asarray([H, W], np.int32), Hp, Wp,
+    )
+    zb_dense = _part_zbufs_grid(grid, cam, H, W, parts)
+    for p in parts:
+        np.testing.assert_array_equal(zb_pts[p], zb_dense[p])
+
+
 def test_build_deformed_grid_fused_matches_sequential():
     """The one-dispatch rebuild must reproduce the sequential per-part
     scatter exactly, including cross-part collision priority (later parts
