@@ -183,7 +183,13 @@ def extract_minaret_kps_for_view(
         voxel_parts = extract_minaret_voxels_by_label(grid_labels, minaret_parts)
     mask_parts = extract_minaret_masks_by_label(mask_labels, minaret_parts)
 
-    common = list(set(voxel_parts) & set(mask_parts))
+    # The reference's `list(set & set)` (camera_estimation.py:29) leaves the
+    # pairing order to the per-process string-hash seed; float residual
+    # summation order then perturbs the LM fit in the last bits, which the
+    # downstream random search amplifies to visibly different cameras.
+    # Sorting fixes the order (the SELECTION is identical) so runs are
+    # reproducible across processes.
+    common = sorted(set(voxel_parts) & set(mask_parts))
     if len(common) < 2:
         raise ValueError("Not enough visible minarets")
 

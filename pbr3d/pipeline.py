@@ -359,6 +359,7 @@ def _stage2_all_batched(
     generations: int = 40,
     population: int = 64,
     seed: int = 0,
+    on_front_final=None,
 ) -> Dict[str, Dict[str, Dict[str, Dict]]]:
     """Stage 2 for every monument with cross-view device batching.
 
@@ -366,6 +367,12 @@ def _stage2_all_batched(
     both views); the mask-IoU searches for ALL (monument, view) problems go
     through :func:`pbr3d.camera.align.refine_cameras_batched` — grouped
     bucketed device programs instead of 10 serial searches.
+
+    ``on_front_final(monument, params)`` — optional callback fired the
+    moment a monument's FRONT camera can no longer change (right after the
+    main search for non-retried views; after the retry merge otherwise).
+    Stage 3 depends only on the front camera, so the caller can overlap
+    part refinement with the drone-view retry rounds.
     """
     import sys
 
@@ -450,6 +457,10 @@ def _stage2_all_batched(
     retry = {
         k: jobs[k] for k, (_, iou) in finals.items() if iou < RETRY_IOU_FLOOR
     }
+    if on_front_final is not None:
+        for (m, view), (params, _) in finals.items():
+            if view == "front" and (m, view) not in retry:
+                on_front_final(m, params)
     if retry:
         import sys as _sys
 
@@ -494,6 +505,10 @@ def _stage2_all_batched(
                 print(f"[stage2] {k}: {tag} start improved "
                       f"{finals[k][1]:.4f} -> {iou:.4f}", file=_sys.stderr)
                 finals[k] = (params, iou)
+        if on_front_final is not None:
+            for (m, view) in retry:
+                if view == "front":
+                    on_front_final(m, finals[(m, view)][0])
 
     for (m, view), (params, _) in finals.items():
         cameras[m]["final"][view] = params
@@ -568,6 +583,30 @@ def run_all(
                   file=sys.stderr)
             traceback.print_exc()
 
+    # Stage-3 executor is created BEFORE stage 2: part refinement depends
+    # only on the front camera, so each monument's stage 3 is submitted the
+    # moment its front camera is final (for most monuments that is right
+    # after the main stage-2 search — the drone-view retry rounds then run
+    # concurrently with the first stage-3 refinements).
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex3 = ThreadPoolExecutor(max_workers=max(1, stage3_workers))
+    futs3: Dict[str, object] = {}
+
+    def stage3_task(m: str, cam_front: Dict):
+        t0 = time.perf_counter()
+        deforms, grid3 = run_stage3(
+            m, grids[m], cam_front, data_root, out_dir,
+            **(kw.get("stage3_kw") or {})
+        )
+        t3 = time.perf_counter() - t0
+        print(f"[{m}] stage3 {t3:.1f}s parts={len(deforms)}",
+              file=sys.stderr, flush=True)
+        return deforms, grid3, t3
+
+    def on_front_final(m: str, params: Dict):
+        futs3[m] = ex3.submit(stage3_task, m, params)
+
     cameras_all: Dict[str, Dict] = {}
     t2_share: Optional[float] = None
     if batch_stage2 and len(monuments) > 1 and len(grids) == len(monuments):
@@ -575,6 +614,7 @@ def run_all(
             t0 = time.perf_counter()
             cameras_all = _stage2_all_batched(
                 monuments, grids, data_root, out_dir,
+                on_front_final=on_front_final,
                 **(kw.get("stage2_kw") or {}),
             )
             t2_share = (time.perf_counter() - t0) / max(len(monuments), 1)
@@ -584,13 +624,23 @@ def run_all(
             )
         except Exception:
             if strict:
+                ex3.shutdown(wait=False, cancel_futures=True)
                 raise
             cameras_all = {}
             print("[run_all] batched stage2 FAILED, falling back to serial:",
                   file=sys.stderr)
             traceback.print_exc()
+            # drain any early-submitted stage-3 work before the serial
+            # fallback recomputes it (same inputs -> same artifacts)
+            for f in futs3.values():
+                try:
+                    f.result()
+                except Exception:
+                    pass
+            futs3.clear()
 
     if not cameras_all:
+        ex3.shutdown(wait=True)
         out: Dict[str, PipelineResult] = {}
         for m in monuments:
             try:
@@ -604,40 +654,40 @@ def run_all(
                 traceback.print_exc()
         return out
 
-    # ---- stage 3, threaded across monuments ----
-    from concurrent.futures import ThreadPoolExecutor
-
-    def one_stage3(m: str) -> PipelineResult:
-        t0 = time.perf_counter()
-        cams = cameras_all[m]
-        if not cams["final"]:
-            raise RuntimeError(
-                f"{m}: no view passed camera estimation (all views skipped)"
-            )
-        cam_front = cams["final"].get("front") or next(iter(cams["final"].values()))
-        deforms, grid3 = run_stage3(
-            m, grids[m], cam_front, data_root, out_dir, **(kw.get("stage3_kw") or {})
-        )
-        timings = {
-            "stage1": t_share or 0.0,
-            "stage2": t2_share or 0.0,
-            "stage3": time.perf_counter() - t0,
-        }
-        print(f"[{m}] stage3 {timings['stage3']:.1f}s parts={len(deforms)}",
-              file=sys.stderr, flush=True)
-        return PipelineResult(m, grids[m], cams, deforms, grid3, timings)
+    # ---- stage 3: collect the overlapped tasks, submit any stragglers ----
+    # (monuments whose front view was skipped fall back to another final
+    # view, which is only safely fixed once stage 2 fully returns)
+    for m in monuments:
+        if m in futs3:
+            continue
+        cams = cameras_all.get(m)
+        if cams and cams["final"]:
+            cam_front = (cams["final"].get("front")
+                         or next(iter(cams["final"].values())))
+            futs3[m] = ex3.submit(stage3_task, m, cam_front)
 
     out = {}
-    with ThreadPoolExecutor(max_workers=max(1, stage3_workers)) as ex:
-        futs = {m: ex.submit(one_stage3, m) for m in monuments}
-        for m, f in futs.items():
-            try:
-                out[m] = f.result()
-            except Exception:
-                if strict:
-                    raise
-                print(f"[run_all] {m} stage3 FAILED:", file=sys.stderr)
-                traceback.print_exc()
+    for m in monuments:
+        try:
+            cams = cameras_all.get(m)
+            if m not in futs3 or not cams or not cams["final"]:
+                raise RuntimeError(
+                    f"{m}: no view passed camera estimation (all views skipped)"
+                )
+            deforms, grid3, t3 = futs3[m].result()
+            timings = {
+                "stage1": t_share or 0.0,
+                "stage2": t2_share or 0.0,
+                "stage3": t3,
+            }
+            out[m] = PipelineResult(m, grids[m], cams, deforms, grid3, timings)
+        except Exception:
+            if strict:
+                ex3.shutdown(wait=False, cancel_futures=True)
+                raise
+            print(f"[run_all] {m} stage3 FAILED:", file=sys.stderr)
+            traceback.print_exc()
+    ex3.shutdown(wait=True)
 
     if out_dir is not None:
         for m, r in out.items():
