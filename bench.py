@@ -14,8 +14,9 @@ our time covers ALL THREE stages (carving + automated camera estimation +
 automated part refinement).
 
 Timing protocol: pass 1 is the cold (compile) pass; the reported value is the
-MEDIAN of the remaining steady-state passes (default 3 passes total — the
-tunnel showed 20-25% run-to-run variance in round 1).
+MEDIAN of the remaining steady-state passes (default 5 passes total @256 /
+3 at golden resolution — the tunnel shows 20-80% run-to-run variance, so the
+median needs several steady passes to be meaningful).
 
 Quality gates (computed once from the last pass):
 * stage-1 occupancy IoU per monument vs the reference golden
@@ -133,7 +134,7 @@ def main():
     # configuration the reference's results/ were produced at.
     max_dim = None if raw == "golden" else int(raw)
     baseline_s = BASELINE_S_BY_MODE.get(raw, 148.5)
-    passes = int(os.environ.get("PBR3D_BENCH_PASSES", "3"))
+    passes = int(os.environ.get("PBR3D_BENCH_PASSES", "5" if raw == "256" else "3"))
     kw = dict(
         max_dim=max_dim,
         stage2_kw=dict(generations=12, population=192, seed=0),

@@ -36,18 +36,27 @@ ALIGN_PARTS = ("front_minarets", "back_minarets")  # notebook 2 cells 5/9
 
 #: Views whose mask-IoU search lands below this get second searches from a
 #: family of reparameterized starts (principal-point ridge, dolly-zoom,
-#: 90°-yaw symmetry branches) — see ``_retry_starts``.
-RETRY_IOU_FLOOR = 0.45
+#: 90°-yaw symmetry branches) — see ``_retry_starts``.  Front views use a
+#: higher floor: the pitch-ridge family below recovers golden-regime
+#: cameras even for mid-scoring fronts (Itimad front 0.56 -> 0.60 on the
+#: reference's own aligner objective at golden resolution), and a front
+#: retry costs only 3 extra triage starts.
+RETRY_IOU_FLOOR = {"front": 0.60, "drone": 0.45}
 
 
-def _retry_starts(kp_params: Dict, grid_shape, view: str = "drone"):
+def _retry_starts(kp_params: Dict, grid_shape, view: str = "drone",
+                  mask_hw=None):
     """(tag, init_params, step_scale) second-start family for one view.
 
     Front views are fronto-parallel: their kp azimuth is unambiguous and
-    the far-basin regime does not apply, so they only get the cheap
-    principal-point start.  Oblique (drone) views get the full family —
-    the 4-fold symmetry leaves their azimuth ambiguous and the golden
-    regime can sit at 2x the distance (the Charminar case)."""
+    the far-basin regime does not apply, so they get principal-point
+    ridge starts only — cx=cy=0 (the Charminar-front regime), plus the
+    pitch-down ridge cy=H and the centered cx=W/2, cy=H/2 (the golden
+    Itimad front sits at cy=H with the target BELOW the grid; probed at
+    golden res: ppH start 0.6045 vs 0.5602 from the kp basin).  Oblique
+    (drone) views get the full family — the 4-fold symmetry leaves their
+    azimuth ambiguous and the golden regime can sit at 2x the distance
+    (the Charminar case)."""
     from pbr3d.camera.geometry import (
         dolly_zoom,
         reparam_principal_point,
@@ -56,6 +65,12 @@ def _retry_starts(kp_params: Dict, grid_shape, view: str = "drone"):
 
     starts = [("pp0", reparam_principal_point(kp_params), 1.0)]
     if view == "front":
+        if mask_hw is not None:
+            H, W = int(mask_hw[0]), int(mask_hw[1])
+            starts.append(
+                ("ppH", reparam_principal_point(kp_params, W / 2, H), 1.0))
+            starts.append(
+                ("ppc", reparam_principal_point(kp_params, W / 2, H / 2), 1.0))
         return starts
     starts.append(("dolly2", dolly_zoom(kp_params, 2.0), 2.0))
     for deg in (90, 180, 270):
@@ -155,11 +170,12 @@ def run_stage2(
             grid_labels, mask, list(ALIGN_PARTS), kp_params[view],
             generations=generations, population=population, seed=seed,
         )
-        if iou < RETRY_IOU_FLOOR:
+        if iou < RETRY_IOU_FLOOR[view]:
             # second starts from the reparameterized family (see
             # _retry_starts / _stage2_all_batched)
             for _tag, init2, scale in _retry_starts(
-                kp_params[view], np.asarray(grid_labels).shape, view
+                kp_params[view], np.asarray(grid_labels).shape, view,
+                mask_hw=mask.shape[:2],
             ):
                 p2, iou2 = refine_camera_mask_iou(
                     grid_labels, mask, list(ALIGN_PARTS), init2,
@@ -455,7 +471,8 @@ def _stage2_all_batched(
     # regime), and the three 90°-yaw symmetry branches (4-fold monuments
     # leave the kp camera's azimuth ambiguous for oblique views).
     retry = {
-        k: jobs[k] for k, (_, iou) in finals.items() if iou < RETRY_IOU_FLOOR
+        k: jobs[k] for k, (_, iou) in finals.items()
+        if iou < RETRY_IOU_FLOOR[k[1]]
     }
     if on_front_final is not None:
         for (m, view), (params, _) in finals.items():
@@ -469,7 +486,8 @@ def _stage2_all_batched(
         jobs2 = {}
         for k, j in retry.items():
             for tag, init, scale in _retry_starts(
-                j["init_params"], np.asarray(j["grid_labels"]).shape, k[1]
+                j["init_params"], np.asarray(j["grid_labels"]).shape, k[1],
+                mask_hw=np.asarray(j["mask_labels"]).shape[:2],
             ):
                 jobs2[(k, tag)] = dict(j, init_params=init, step_scale=scale)
         # triage: coarse-only search over the whole family, then spend the
