@@ -184,6 +184,14 @@ def run_stage2(
                 )
                 if iou2 > iou:
                     final_params[view], iou = p2, iou2
+        # quarter-step fine polish (see _stage2_all_batched.fine_polish)
+        p3, iou3 = refine_camera_mask_iou(
+            grid_labels, mask, list(ALIGN_PARTS), final_params[view],
+            generations=generations, population=population,
+            seed=seed + 3, step_scale=0.25,
+        )
+        if iou3 > iou:
+            final_params[view], iou = p3, iou3
 
     cameras = {"init": init_params, "kp": kp_params, "final": final_params}
     if out_dir is not None:
@@ -474,6 +482,29 @@ def _stage2_all_batched(
         k: jobs[k] for k, (_, iou) in finals.items()
         if iou < RETRY_IOU_FLOOR[k[1]]
     }
+
+    def fine_polish(keys, seed_off):
+        """Quarter-step refinement from the current finals: the main
+        search's step schedule freezes on plateau ridges ~1-5% below the
+        local optimum (measured on Bibi front at golden res: 0.8113 ->
+        0.8624 with step_scale 0.25).  Reuses the main-search executables
+        (same generations/population/buckets -> no new compiles)."""
+        jf = {
+            k: dict(jobs[k], init_params=finals[k][0], step_scale=0.25)
+            for k in keys
+        }
+        if not jf:
+            return
+        out = refine_cameras_batched(
+            jf, generations=generations, population=population,
+            seed=seed + seed_off,
+        )
+        for k, (params, iou) in out.items():
+            if iou > finals[k][1]:
+                finals[k] = (params, iou)
+
+    with prof("stage2.fine_polish"):
+        fine_polish([k for k in finals if k not in retry], 3)
     if on_front_final is not None:
         for (m, view), (params, _) in finals.items():
             if view == "front" and (m, view) not in retry:
@@ -514,15 +545,33 @@ def _stage2_all_batched(
                     jobs2[(k, tag)],
                     init_params=coarse[(k, tag)][0],
                 )
+        # two complementary finishes, keep the best of either: native-res
+        # polish of the triage winners' PARAMS (cheap, usually enough), and
+        # a full-budget native-res re-search of the top start from its
+        # ORIGINAL init (the triage's reduced resolution can park the
+        # winner beside a ridge the full-res search walks; measured at
+        # golden res: Itimad front ppH 0.5976 polished vs 0.6063
+        # re-searched, while Charminar drone prefers the polished route).
+        jobs4 = {}
+        for k, ranked in by_view.items():
+            _, tag = max(ranked)
+            jobs4[(k, tag)] = dict(jobs2[(k, tag)])
         with prof("stage2.retry_polish"):
             finals2 = refine_cameras_batched(
                 jobs3, generations=0, population=population, seed=seed + 1
             )
-        for (k, tag), (params, iou) in finals2.items():
-            if iou > finals[k][1]:
-                print(f"[stage2] {k}: {tag} start improved "
-                      f"{finals[k][1]:.4f} -> {iou:.4f}", file=_sys.stderr)
-                finals[k] = (params, iou)
+            research = refine_cameras_batched(
+                jobs4, generations=generations, population=population,
+                seed=seed + 2
+            )
+        for result in (finals2, research):
+            for (k, tag), (params, iou) in result.items():
+                if iou > finals[k][1]:
+                    print(f"[stage2] {k}: {tag} start improved "
+                          f"{finals[k][1]:.4f} -> {iou:.4f}", file=_sys.stderr)
+                    finals[k] = (params, iou)
+        with prof("stage2.fine_polish_retry"):
+            fine_polish(list(retry), 4)
         if on_front_final is not None:
             for (m, view) in retry:
                 if view == "front":
