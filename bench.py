@@ -106,12 +106,18 @@ def _stage1_iou_vs_golden(monument: str, grid, max_dim: int):
 
 def _stage3_whole_iou(monument: str, result) -> float:
     """Notebook-4 'whole' cell: visibility-aware silhouette IoU of the
-    deformed grid under the final front camera."""
-    from pbr3d.carving.voxel import all_points
-    from pbr3d.eval.intra import (
-        _iou_bool, _load_mask_labels_for_grid, _visible, _zbuf,
-        compute_binary_gt,
-    )
+    deformed grid under the final front camera.
+
+    Computed from the DENSE grid on device (the per-part z-buffer program
+    the exact-verify already compiles): a pixel is visible iff its total
+    z-buffer is finite — each pixel's min-Z point trivially passes the
+    |Z − zbuf| < eps test against itself (eval_helpers_intra.py:168-190).
+    The previous host path (np.where over 16.7M voxels per monument) cost
+    minutes of single-core time in the quality-gate phase."""
+    from pbr3d import config as _cfg
+    from pbr3d.deform.verify import _part_zbufs_grid
+    from pbr3d.eval.intra import _iou_bool, _load_mask_labels_for_grid, \
+        compute_binary_gt
 
     grid3 = result.grid_stage3
     cam = result.cameras["final"].get("front") or next(
@@ -121,9 +127,11 @@ def _stage3_whole_iou(monument: str, result) -> float:
         "/root/reference/data", monument, "front", result.grid_stage1.shape
     )
     H, W = mask.shape[:2]
-    zb = _zbuf(grid3, cam, H, W)
-    pts, _ = all_points(grid3)
-    pr = _visible(pts, cam, zb)
+    present = [int(v) for v in np.unique(grid3) if 0 < v < 10]
+    names = [p for p, i in _cfg.PART_IDS.items() if i in present]
+    zbs = _part_zbufs_grid(grid3, cam, H, W, names)
+    zb = np.minimum.reduce(list(zbs.values()))
+    pr = np.isfinite(zb)[:H, :W]
     gt = compute_binary_gt(mask, result.grid_stage1)
     return _iou_bool(gt, pr)
 

@@ -113,6 +113,17 @@ def surface_points_by_parts(
     grid_labels = np.asarray(grid_labels)
     ids = config.part_ids(part_names)
     sel = np.isin(grid_labels, ids)
+    # Crop to the selection's bbox before the 6 neighbor shifts: ``sel`` is
+    # False outside it, so the shell inside the crop is identical — and for
+    # small parts (e.g. the stage-2 minaret shells) this turns six full-grid
+    # boolean passes into six bbox-sized ones.
+    proj = [np.any(sel, axis=ax) for ax in ((1, 2), (0, 2), (0, 1))]
+    if not proj[0].any():
+        return np.empty((0, 3), np.float32), np.empty((0,), grid_labels.dtype)
+    lo = [int(np.argmax(p)) for p in proj]
+    hi = [len(p) - int(np.argmax(p[::-1])) for p in proj]
+    box = tuple(slice(l, h) for l, h in zip(lo, hi))
+    sel = sel[box]
     interior = np.ones_like(sel)
     for ax in range(3):
         for sh in (1, -1):
@@ -127,8 +138,8 @@ def surface_points_by_parts(
             interior &= shifted
     shell = sel & ~interior
     d0, d1, d2 = np.where(shell)
-    pts = _xyz_f32(d0, d1, d2)
-    return pts, grid_labels[d0, d1, d2]
+    pts = _xyz_f32(d0 + lo[0], d1 + lo[1], d2 + lo[2])
+    return pts, grid_labels[d0 + lo[0], d1 + lo[1], d2 + lo[2]]
 
 
 def all_points(grid_labels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -339,11 +339,15 @@ def optimize_part_deform(
     refine_steps: int = 3,
     chunk: int = 64,
     mode: str = "separable",
+    coarse_cap: int = 24576,
+    fine_cap: int = 65536,
     _points=None,
     _surface_points=None,
     _device_full=None,
     _zb_identity=None,
     _nb=None,
+    _return_zb: bool = False,
+    _table=None,
 ) -> Tuple[np.ndarray, float]:
     """Best (scale_y, shift_y, scale_xz, shift_xz) for one part + its IoU.
 
@@ -375,9 +379,15 @@ def optimize_part_deform(
     ``mode="full"`` replaces step 1 with the full 4-D cross product.
     """
     pid = config.PART_IDS[part]
-    pts = _points if _points is not None else points_by_parts(grid_labels, [part])[0]
-    if len(pts) == 0:
-        return IDENTITY_DEFORM.copy(), 0.0
+    if _table is not None:
+        n_pts = _table.count(pid)
+    else:
+        pts = (_points if _points is not None
+               else points_by_parts(grid_labels, [part])[0])
+        n_pts = len(pts)
+    if n_pts == 0:
+        out = (IDENTITY_DEFORM.copy(), 0.0)
+        return (out + (None,)) if _return_zb else out
     voxel_shape = np.asarray(grid_labels).shape[:3]
     H, W = mask_labels.shape[:2]
     # pad the image plane to a shared bucket so every scene size reuses the
@@ -391,22 +401,43 @@ def optimize_part_deform(
         rest = np.full((Hp, Wp), np.inf, np.float32)
         rest[: rest_zbuf.shape[0], : rest_zbuf.shape[1]] = rest_zbuf
 
-    shell = _surface_points
-    if shell is None:
-        shell = surface_points_by_parts(grid_labels, [part])[0]
-    if len(shell):
-        sub_fine = shell[::surface_stride]
-        sub_coarse = shell[:: 2 * surface_stride]
-    else:  # degenerate: every voxel interior-labeled (cannot happen for >0 pts)
-        sub_fine = pts[::search_stride]
-        sub_coarse = pts[:: 2 * search_stride]
-    center = jnp.asarray(pts.mean(axis=0), jnp.float32)  # FULL-set centroid
-    p_sc, v_sc = pad_points_i16(sub_coarse, bucket_size(len(sub_coarse)))
-    p_s, v_s = pad_points_i16(sub_fine, bucket_size(len(sub_fine)))
-    if _device_full is not None:
-        p_f, v_f = _device_full  # device-resident: skip the big re-upload
+    if _table is not None:
+        # Device path: shell windows are extracted ON DEVICE from the point
+        # table (one cumsum-rank pass each) — zero host point work.
+        n_shell = max(_table.shell_count(pid), 1)
+        s_f = max(surface_stride, -(-n_shell // fine_cap))
+        s_c = max(2 * surface_stride, -(-n_shell // coarse_cap))
+        p_s, v_s = _table.shell_window(
+            pid, s_f, bucket_size(-(-n_shell // s_f)))
+        p_sc, v_sc = _table.shell_window(
+            pid, s_c, bucket_size(-(-n_shell // s_c)))
+        center = jnp.asarray(_table.center(pid), jnp.float32)
+        p_f, v_f = _device_full if _device_full is not None else (
+            _table.part_window(pid, 1, bucket_size(n_pts)))
     else:
-        p_f, v_f = pad_points_i16(pts, bucket_size(len(pts)))
+        shell = _surface_points
+        if shell is None:
+            shell = surface_points_by_parts(grid_labels, [part])[0]
+        if len(shell):
+            # Adaptive stride: huge parts (Akbar full_building's shell is
+            # ~236k points at 256 scale) get strided harder so the candidate
+            # cost per search round stays bounded; the winner is still
+            # accepted on the FULL point set and the exact nb4 verify guards
+            # the final grid.
+            s_f = max(surface_stride, -(-len(shell) // fine_cap))
+            s_c = max(2 * surface_stride, -(-len(shell) // coarse_cap))
+            sub_fine = shell[::s_f]
+            sub_coarse = shell[::s_c]
+        else:  # degenerate: every voxel interior-labeled (impossible for >0 pts)
+            sub_fine = pts[::search_stride]
+            sub_coarse = pts[:: 2 * search_stride]
+        center = jnp.asarray(pts.mean(axis=0), jnp.float32)  # FULL-set centroid
+        p_sc, v_sc = pad_points_i16(sub_coarse, bucket_size(len(sub_coarse)))
+        p_s, v_s = pad_points_i16(sub_fine, bucket_size(len(sub_fine)))
+        if _device_full is not None:
+            p_f, v_f = _device_full  # device-resident: skip the big re-upload
+        else:
+            p_f, v_f = pad_points_i16(pts, bucket_size(len(pts)))
     gt = jnp.asarray(gt_p)
     rest_j = jnp.asarray(rest)
     cam_vec = jnp.asarray(params_to_vector(cam))
@@ -490,11 +521,6 @@ def optimize_part_deform(
     # full-set comparison: accept the searched deform only if it beats
     # identity on the full point set too (strided search can overfit), on
     # the SAME penalized objective the search optimized.
-    with prof(f"opd.{part}.accept_zb", sync=False):
-        zb_best = np.asarray(deformed_zbuffer(
-            jnp.asarray(best), jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
-            true_hw, vs, center, Hp, Wp,
-        ))
     if _zb_identity is not None:
         zb_id = _zb_identity  # already maintained by refine_parts
     else:
@@ -502,15 +528,27 @@ def optimize_part_deform(
             jnp.asarray(IDENTITY_DEFORM), jnp.asarray(p_f), jnp.asarray(v_f),
             cam_vec, true_hw, vs, center, Hp, Wp,
         ))
-    iou_best = _visible_iou_from_zb(zb_best, rest, gt_p)
     iou_id = _visible_iou_from_zb(zb_id, rest, gt_p)
+    if np.array_equal(best, IDENTITY_DEFORM):
+        # search kept identity: the full-set dispatch would just recompute
+        # the identity z-buffer we already hold
+        out = (IDENTITY_DEFORM.copy(), float(iou_id))
+        return (out + (None,)) if _return_zb else out
+    with prof(f"opd.{part}.accept_zb", sync=False):
+        zb_best = np.asarray(deformed_zbuffer(
+            jnp.asarray(best), jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
+            true_hw, vs, center, Hp, Wp,
+        ))
+    iou_best = _visible_iou_from_zb(zb_best, rest, gt_p)
     score_best, score_id = iou_best, iou_id
     if _nb is not None:
         score_best = iou_best - _nb_drop_penalty(_nb, zb_best)
         score_id = iou_id - _nb_drop_penalty(_nb, zb_id)
     if score_best <= score_id:
-        return IDENTITY_DEFORM.copy(), float(iou_id)
-    return np.asarray(best, np.float32), float(iou_best)
+        out = (IDENTITY_DEFORM.copy(), float(iou_id))
+        return (out + (None,)) if _return_zb else out
+    out = (np.asarray(best, np.float32), float(iou_best))
+    return (out + (zb_best,)) if _return_zb else out
 
 
 def _min_pool2(z: np.ndarray) -> np.ndarray:
@@ -563,7 +601,9 @@ def refine_parts(
     overrides: Optional[Dict[str, Dict]] = None,
     verify: bool = True,
     cache=None,
+    table=None,
     zb_identity_out: Optional[Dict[str, np.ndarray]] = None,
+    part_sets_out: Optional[Dict] = None,
     **kw,
 ) -> Dict[str, Dict]:
     """Optimize every (present) part; returns {part: {deform, iou}} like the
@@ -583,10 +623,13 @@ def refine_parts(
     if part_names is None:
         part_names = [p for p in config.PART_NAMES if p != "background"]
     overrides = overrides or {}
-    if cache is None:
-        cache = PointCache(grid_labels)
-    present = set(np.unique(cache._labels))
-    parts = [p for p in part_names if config.PART_IDS[p] in present]
+    if table is not None:
+        parts = [p for p in part_names if table.count(config.PART_IDS[p]) > 0]
+    else:
+        if cache is None:
+            cache = PointCache(grid_labels)
+        present = set(np.unique(cache._labels))
+        parts = [p for p in part_names if config.PART_IDS[p] in present]
     if not parts:
         return {}
 
@@ -603,10 +646,25 @@ def refine_parts(
     centers = {}
     with prof("refine_parts.upload_sets", sync=False):
         for p in parts:
-            pts = cache.points_by_parts([p])[0]
-            pp, vv = pad_points_i16(pts, bucket_size(len(pts)))
-            padded_sets[p] = (jnp.asarray(pp), jnp.asarray(vv), len(pts))
-            centers[p] = jnp.asarray(pts.mean(axis=0), jnp.float32)
+            pid = config.PART_IDS[p]
+            if table is not None:
+                # per-part compact sets extracted ON DEVICE from the table
+                # (same bucket shapes as the host pad path -> same
+                # executables downstream, zero upload)
+                n = table.count(pid)
+                pp, vv = table.part_window(pid, 1, bucket_size(n))
+                padded_sets[p] = (pp, vv, n)
+                centers[p] = jnp.asarray(table.center(pid), jnp.float32)
+            else:
+                pts = cache.points_by_parts([p])[0]
+                pp, vv = pad_points_i16(pts, bucket_size(len(pts)))
+                padded_sets[p] = (jnp.asarray(pp), jnp.asarray(vv), len(pts))
+                centers[p] = jnp.asarray(pts.mean(axis=0), jnp.float32)
+
+    if part_sets_out is not None:
+        # export the (device-resident) padded per-part sets for the caller's
+        # grid rebuild — extracting them twice is pure waste
+        part_sets_out.update({p: padded_sets[p][:2] for p in parts})
 
     def zb_at(p: str, deform: np.ndarray) -> np.ndarray:
         pp, vv, _ = padded_sets[p]
@@ -619,14 +677,17 @@ def refine_parts(
     # All parts' identity z-buffers in ONE dispatch (identity deform + the
     # 7-jitter rounding reproduce the raw integer coords exactly, so the
     # direct projection is equivalent to deformed_zbuffer at identity).
-    pts_all, labels_all = cache.all_points()
-    n_all = bucket_size(len(pts_all))
-    pa = np.zeros((n_all, 3), np.int16)
-    la = np.zeros((n_all,), np.uint8)
-    va = np.zeros((n_all,), bool)
-    pa[: len(pts_all)] = pts_all
-    la[: len(pts_all)] = labels_all
-    va[: len(pts_all)] = True
+    if table is not None:
+        pa, la, va = table.coords, table.labels, table.valid
+    else:
+        pts_all, labels_all = cache.all_points()
+        n_all = bucket_size(len(pts_all))
+        pa = np.zeros((n_all, 3), np.int16)
+        la = np.zeros((n_all,), np.uint8)
+        va = np.zeros((n_all,), bool)
+        pa[: len(pts_all)] = pts_all
+        la[: len(pts_all)] = labels_all
+        va[: len(pts_all)] = True
     with prof("refine_parts.identity_zbufs"):
         zb_identity = all_part_zbuffers(
             pa, la, va, params_to_vector(cam), parts,
@@ -715,19 +776,28 @@ def refine_parts(
     ]
     for p in searched:
         with prof(f"refine_parts.search.{p}"):
-            deform, _ = optimize_part_deform(
+            if table is not None:
+                src_kw = dict(_table=table)
+            else:
+                src_kw = dict(
+                    _points=cache.points_by_parts([p])[0],
+                    _surface_points=cache.surface_points_by_parts([p])[0],
+                )
+            deform, _, zb_new = optimize_part_deform(
                 grid_labels, p, mask_labels, cam,
                 rest_zbuf=rest_zb(p),
-                _points=cache.points_by_parts([p])[0],
-                _surface_points=cache.surface_points_by_parts([p])[0],
                 _device_full=padded_sets[p][:2],
                 _zb_identity=zb_identity[p],
                 _nb=nb_bundle(p),
+                _return_zb=True,
+                **src_kw,
                 **kw,
             )
             if not np.array_equal(deform, state[p]):
                 state[p] = deform
-                zbs[p] = zb_at(p, deform)
+                # the accept check already computed the full-set z-buffer
+                # at the winning deform — reuse it instead of re-dispatching
+                zbs[p] = zb_new if zb_new is not None else zb_at(p, deform)
 
     if verify:
         # Init-anchored verify (pure image math over the maintained per-part

@@ -150,18 +150,22 @@ def _nb4_state(
     cam: Dict,
     cache_init: Optional[PointCache] = None,
     zb_i: Optional[Dict[str, np.ndarray]] = None,
+    parts: Optional[list] = None,
 ):
     """(cells, zb_i, zb_d, gt_planes, parts, mask_p) for the rebuilt grid.
     ``zb_i`` (init z-buffers) can be reused across rebuilds — the init grid
-    never changes inside the verify loop."""
+    never changes inside the verify loop.  ``parts`` (the init grid's
+    present parts) skips the host PointCache scan when the caller already
+    knows them (e.g. from the device point table)."""
     from pbr3d.utils.profiling import prof
 
     H, W = np.asarray(mask_nb4).shape[:2]
     Hp, Wp = _pad_plane_hw(H, W)
-    cache_init = cache_init or PointCache(grid_init)
-    present_i = set(int(v) for v in np.unique(cache_init._labels))
-    parts = [p for p in config.PART_NAMES
-             if p != "background" and config.PART_IDS[p] in present_i]
+    if parts is None:
+        cache_init = cache_init or PointCache(grid_init)
+        present_i = set(int(v) for v in np.unique(cache_init._labels))
+        parts = [p for p in config.PART_NAMES
+                 if p != "background" and config.PART_IDS[p] in present_i]
     gt_planes = {}
     mask_p = np.zeros((Hp, Wp), np.uint8)
     mask_p[:H, :W] = np.asarray(mask_nb4)
@@ -214,6 +218,7 @@ def enforce_no_regression(
     max_rounds: int = 3,
     cache_init: Optional[PointCache] = None,
     zb_i: Optional[Dict[str, np.ndarray]] = None,
+    parts: Optional[list] = None,
 ) -> Tuple[Dict[str, Dict], np.ndarray]:
     """Rebuild→verify→revert loop: returns (possibly-updated deforms, grid).
 
@@ -238,13 +243,14 @@ def enforce_no_regression(
 
     from pbr3d.utils.profiling import prof
 
-    cache_init = cache_init or PointCache(grid_init)
+    if parts is None:
+        cache_init = cache_init or PointCache(grid_init)
     with prof("verify.build", sync=False):
         grid_def = build_fn(vecs())
     with prof("verify.nb4_state", sync=False):
         cells, zb_i, zb_d, gt_planes, parts, mask_p = _nb4_state(
             grid_init, grid_def, mask_nb4, cam, cache_init=cache_init,
-            zb_i=zb_i,
+            zb_i=zb_i, parts=parts,
         )
 
     def _tol(p: str) -> float:
@@ -311,7 +317,7 @@ def enforce_no_regression(
         grid_def = build_fn(vecs())
         cells, _, zb_d, gt_planes, parts, mask_p = _nb4_state(
             grid_init, grid_def, mask_nb4, cam, cache_init=cache_init,
-            zb_i=zb_i,
+            zb_i=zb_i, parts=parts,
         )
 
     # refresh the stored per-part IoUs with the exact nb4 deformed values

@@ -290,23 +290,26 @@ def build_deformed_grid_fused(
     """
     from pbr3d import config
 
+    # Concatenation happens ON DEVICE: ``part_points`` may hold
+    # device-resident sets (the point-table path), and re-downloading +
+    # re-uploading ~70 MB per rebuild was the dominant verify cost.
     coords, labels, valid, slot = [], [], [], []
     table_d, table_c = [], []
     for s, part in enumerate(p for p in part_order if p in deforms):
         pp, vv = part_points[part]
         n = pp.shape[0]
-        coords.append(np.asarray(pp))
-        valid.append(np.asarray(vv))
-        labels.append(np.full((n,), config.PART_IDS[part], np.uint8))
-        slot.append(np.full((n,), len(table_d), np.int32))
+        coords.append(jnp.asarray(pp))
+        valid.append(jnp.asarray(vv))
+        labels.append(jnp.full((n,), config.PART_IDS[part], jnp.uint8))
+        slot.append(jnp.full((n,), len(table_d), jnp.int32))
         table_d.append(np.asarray(deforms[part], np.float32))
         table_c.append(np.asarray(centers[part], np.float32))
     D, H, W = (int(v) for v in voxel_shape)
     return _build_fused(
-        jnp.asarray(np.concatenate(coords)),
-        jnp.asarray(np.concatenate(labels)),
-        jnp.asarray(np.concatenate(valid)),
-        jnp.asarray(np.concatenate(slot)),
+        jnp.concatenate(coords),
+        jnp.concatenate(labels),
+        jnp.concatenate(valid),
+        jnp.concatenate(slot),
         jnp.asarray(np.stack(table_d)),
         jnp.asarray(np.stack(table_c)),
         jnp.asarray(image_hw, jnp.int32),

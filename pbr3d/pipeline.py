@@ -28,7 +28,6 @@ from pbr3d.camera.keypoints import extract_minaret_kps_for_view
 from pbr3d.carving.stage1 import carve_monument
 from pbr3d.deform.search import refine_parts
 from pbr3d.deform.warp import build_deformed_grid
-from pbr3d.carving.voxel import bucket_size
 from pbr3d.io.artifacts import save_camera_params, save_voxel_grid
 from pbr3d.io.masks import load_mask_labels, prepare_masks
 
@@ -244,30 +243,27 @@ def run_stage3(
         grid_labels = np.pad(grid_labels, ((0, 0), (0, pad), (0, 0)))
     mask = load_mask_labels(data_root, monument, "front", max_dim)
 
-    from pbr3d.carving.voxel import PointCache
-    from pbr3d.deform.search import pad_points_i16
-
+    from pbr3d.ops.point_table import build_point_table
     from pbr3d.utils.profiling import prof
 
-    with prof(f"stage3.{monument}.cache"):
-        cache = PointCache(grid_labels)  # one full-grid scan serves search + build
+    with prof(f"stage3.{monument}.table"):
+        # ONE dense-grid upload; points/shells/centroids all come out of
+        # the device-resident table (the host of this environment has a
+        # single CPU core — np.where-style extraction cost seconds per
+        # monument and serialized the whole stage)
+        table = build_point_table(grid_labels)
     zb_identity: Dict = {}
+    part_points: Dict = {}
     with prof(f"stage3.{monument}.refine_parts"):
         deforms = refine_parts(
             grid_labels, mask, cam_final_front, part_names,
-            overrides=overrides, cache=cache, zb_identity_out=zb_identity,
+            overrides=overrides, table=table, zb_identity_out=zb_identity,
+            part_sets_out=part_points,
             **search_kw,
         )
-    part_points = {}
-    for part in deforms:
-        pts, _ = cache.points_by_parts([part])
-        p, v = pad_points_i16(pts, bucket_size(len(pts)))
-        part_points[part] = (p, v)
     from pbr3d.deform.warp import build_deformed_grid_fused
 
-    centers = {
-        p: cache.points_by_parts([p])[0].mean(axis=0) for p in deforms
-    }
+    centers = {p: table.center(config.PART_IDS[p]) for p in deforms}
     part_order = [p for p in config.PART_NAMES if p in deforms]
 
     def build_fn(deform_vecs):
@@ -285,10 +281,12 @@ def run_stage3(
         mask_nb4 = _load_mask_labels_for_grid(
             data_root, monument, "front", grid_labels.shape
         )
+        present = [p for p in config.PART_NAMES
+                   if p != "background" and table.count(config.PART_IDS[p]) > 0]
         with prof(f"stage3.{monument}.exact_verify"):
             deforms, deformed = enforce_no_regression(
                 grid_labels, deforms, mask_nb4, cam_final_front, build_fn,
-                cache_init=cache, zb_i=zb_identity or None,
+                zb_i=zb_identity or None, parts=present,
             )
             deformed = np.asarray(deformed)
     else:

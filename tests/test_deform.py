@@ -401,3 +401,40 @@ def test_build_deformed_grid_fused_matches_sequential():
         ["dome", "windows"],
     ))
     np.testing.assert_array_equal(seq, fused)
+
+
+def test_refine_parts_table_matches_cache_path():
+    """The device point-table path must reproduce the host PointCache path:
+    same searched deforms, same reported IoUs."""
+    from pbr3d.deform.search import refine_parts
+    from pbr3d.ops.point_table import build_point_table
+
+    size = 48
+    grid = np.zeros((size, size, size), np.uint8)
+    mid = config.PART_IDS["front_minarets"]
+    did = config.PART_IDS["dome"]
+    wid = config.PART_IDS["windows"]
+    grid[20:28, 8:40, 4:10] = mid
+    grid[20:28, 8:20, 20:28] = did
+    grid[10:16, 22:30, 12:18] = wid
+    mask = np.zeros((size, size), np.uint8)
+    mask[6:40, 2:12] = mid
+    mask[16:34, 18:34] = did
+    mask[20:32, 10:20] = wid
+    cam = _simple_cam(size)
+
+    kw = dict(
+        part_names=["front_minarets", "dome", "windows"],
+        search_stride=1, chunk=16,
+        scale_range=(0.9, 1.1, 3), shift_range=(-10, 10, 3), refine_steps=3,
+    )
+    out_cache = refine_parts(grid, mask, cam, **kw)
+    table = build_point_table(grid)
+    out_table = refine_parts(grid, mask, cam, table=table, **kw)
+    assert set(out_cache) == set(out_table)
+    for p in out_cache:
+        for k in ("scale_y", "shift_y", "scale_xz", "shift_xz"):
+            assert out_table[p]["deform"][k] == pytest.approx(
+                out_cache[p]["deform"][k], abs=1e-5), (p, k)
+        assert out_table[p]["iou"] == pytest.approx(
+            out_cache[p]["iou"], abs=1e-5), p
