@@ -684,36 +684,43 @@ def carve_monuments_batched(
     idx_b = np.stack([p[0] for p in plans])
     dec_b = np.stack([p[1] for p in plans])
 
-    grid_b = _global_and_part_carve_batched(
-        jnp.asarray(binary_b), jnp.asarray(ext_b), jnp.asarray(true_b),
-        jnp.asarray(idx_b), jnp.asarray(dec_b), group_ids,
-    )
+    from pbr3d.utils.profiling import prof
+
+    with prof("stage1.sweep"):
+        grid_b = _global_and_part_carve_batched(
+            jnp.asarray(binary_b), jnp.asarray(ext_b), jnp.asarray(true_b),
+            jnp.asarray(idx_b), jnp.asarray(dec_b), group_ids,
+        )
 
     # Component-guided carving, batched: host-label each scene's parts from
     # one true-extent download, then apply ALL scenes' windows in a few
     # grouped dispatches (every window commutes — see guided_carve_batched).
     scene_jobs = {}
-    for i, m in enumerate(names):
-        w, h, d = whd[m]
-        grid_host = np.asarray(grid_b[i, :w, :h, :d])
-        scene_jobs[i] = _collect_guided_jobs(
-            grid_host, mask_sets[m].exterior_labels, preset.part_symmetry, 32
-        )
-    grid_b = guided_carve_batched(grid_b, scene_jobs)
+    with prof("stage1.guided_collect"):
+        for i, m in enumerate(names):
+            w, h, d = whd[m]
+            grid_host = np.asarray(grid_b[i, :w, :h, :d])
+            scene_jobs[i] = _collect_guided_jobs(
+                grid_host, mask_sets[m].exterior_labels, preset.part_symmetry, 32
+            )
+    with prof("stage1.guided_apply"):
+        grid_b = guided_carve_batched(grid_b, scene_jobs)
 
     jobs = tuple((PART_IDS[p], int(depth)) for p, depth in preset.extrusion_depths)
     if jobs:
-        grid_b = _extrude_all_batched(
-            grid_b, jnp.asarray(sem_b), jnp.asarray(true_b), jobs
-        )
+        with prof("stage1.extrude"):
+            grid_b = _extrude_all_batched(
+                grid_b, jnp.asarray(sem_b), jnp.asarray(true_b), jobs
+            )
     grids = {m: grid_b[i] for i, m in enumerate(names)}
 
     out = {}
-    for m in names:
-        w, h, d = whd[m]
-        grid_true = np.asarray(grids[m][:w, :h, :d])
-        out[m] = (
-            reorient_recolor_host(grid_true)
-            if preset.recolor_back_minarets else grid_true
-        )
+    with prof("stage1.download_reorient"):
+        for m in names:
+            w, h, d = whd[m]
+            grid_true = np.asarray(grids[m][:w, :h, :d])
+            out[m] = (
+                reorient_recolor_host(grid_true)
+                if preset.recolor_back_minarets else grid_true
+            )
     return out
