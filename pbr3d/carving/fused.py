@@ -34,6 +34,7 @@ import numpy as np
 from pbr3d import config
 from pbr3d.config import PART_IDS
 from pbr3d.ops.carve import _round_up, _stacked_plans_padded, _sweep_scan
+from pbr3d.utils.transfer import fast_get
 
 Array = jax.Array
 
@@ -220,6 +221,18 @@ def _guided_windows_apply_many(
     return jax.lax.fori_loop(0, starts.shape[0], body, grid_b)
 
 
+def _bbox3(occ: np.ndarray):
+    """((x0,x1),(y0,y1),(z0,z1)) half-open bbox of True voxels, or None."""
+    out = []
+    for ax in range(3):
+        proj = occ.any(axis=tuple(i for i in range(3) if i != ax))
+        nz = np.flatnonzero(proj)
+        if nz.size == 0:
+            return None
+        out.append((int(nz[0]), int(nz[-1]) + 1))
+    return out
+
+
 def _collect_guided_jobs(
     grid_host: np.ndarray,  # (w, h, d) TRUE-extent labels of one scene
     exterior_labels: np.ndarray,
@@ -227,7 +240,11 @@ def _collect_guided_jobs(
     window_bucket: int,
 ):
     """Per-scene window jobs (the loop bodies of guided_carve_all /
-    _guided_windows_for_part, without applying them)."""
+    _guided_windows_for_part, without applying them).
+
+    Labeling runs on the part's occupied bbox only — identical components
+    (face connectivity cannot cross a bbox that contains every part voxel),
+    at a fraction of the full-grid labeling cost on this 1-core host."""
     from pbr3d.ops.components import _host_scipy_label, _host_component_stats
 
     jobs = []
@@ -237,25 +254,38 @@ def _collect_guided_jobs(
     ]
     for part, angle in parts:
         target = PART_IDS[part]
-        comp_true, n = _host_scipy_label(grid_host == target, "face")
+        occ = grid_host == target
+        bb = _bbox3(occ)
+        if bb is None:
+            continue
+        (X0, X1), (Y0, Y1), (Z0, Z1) = bb
+        comp_c, n = _host_scipy_label(occ[X0:X1, Y0:Y1, Z0:Z1], "face")
         if n == 0:
             continue
-        stats = _host_component_stats(comp_true, n)
+        stats = _host_component_stats(comp_c, n)
         mask2d = exterior_labels == target
         for i in range(1, n + 1):
             if stats["count"][i] == 0:
                 continue
-            x0, y0, z0 = (int(v) for v in stats["bbox_min"][i])
-            x1, y1, z1 = (int(v) + 1 for v in stats["bbox_max"][i])
+            # stats are in the crop frame; jobs carry full-frame coords
+            x0, y0, z0 = (int(v) + o for v, o in
+                          zip(stats["bbox_min"][i], (X0, Y0, Z0)))
+            x1, y1, z1 = (int(v) + 1 + o for v, o in
+                          zip(stats["bbox_max"][i], (X0, Y0, Z0)))
             w, h, d = x1 - x0, y1 - y0, z1 - z0
             Wb = _round_up(w, window_bucket)
             Hb = _round_up(h, window_bucket)
             Db = _round_up(d, window_bucket)
-            compw = np.zeros((Wb, Hb, Db), comp_true.dtype)
-            xs = min(comp_true.shape[0], x0 + Wb)
-            ys = min(comp_true.shape[1], y0 + Hb)
-            zs = min(comp_true.shape[2], z0 + Db)
-            compw[: xs - x0, : ys - y0, : zs - z0] = comp_true[x0:xs, y0:ys, z0:zs]
+            compw = np.zeros((Wb, Hb, Db), comp_c.dtype)
+            # window content beyond the part bbox is all zeros (no part
+            # voxels there by construction), so filling from the crop is
+            # exactly the old full-frame fill
+            xs = min(X1, x0 + Wb)
+            ys = min(Y1, y0 + Hb)
+            zs = min(Z1, z0 + Db)
+            compw[: xs - x0, : ys - y0, : zs - z0] = comp_c[
+                x0 - X0 : xs - X0, y0 - Y0 : ys - Y0, z0 - Z0 : zs - Z0
+            ]
             crop2d = mask2d[y0:y1, x0:x1]
             m_wh = np.zeros((Wb, Hb), bool)
             m_wh[:w, :h] = crop2d.T if crop2d.shape == (h, w) else crop2d
@@ -425,7 +455,7 @@ def guided_carve_all(
     # host CPU here is slow enough that array size matters)
     H_img, W_img = exterior_labels.shape
     w, h, d = W_img, H_img, W_img
-    grid_host = np.asarray(grid_p)[:w, :h, :d]
+    grid_host = fast_get(grid_p[:w, :h, :d])
     for part, angle in parts:
         target = PART_IDS[part]
         comp_true, n = _host_scipy_label(grid_host == target, "face")
@@ -525,6 +555,41 @@ def _extrude_all_batched(
     )(grid_b, sem_b, true_whd_b)
 
 
+def recolor_back_host(
+    g: np.ndarray,  # (d, h, w) uint8, ALREADY reoriented, host; edited in place
+    k: int = 2,
+    sort_axis: int = 0,
+) -> np.ndarray:
+    """Back-minaret recolor of an already-reoriented grid (reference
+    voxel_carving_utils.py:252-266): all but the ``k`` front-most
+    front_minaret components become back_minarets.  Labeling runs on the
+    part's occupied bbox only (identical components, ~10x less host work —
+    the minarets are thin columns)."""
+    from pbr3d.ops.components import _host_scipy_label, _host_component_stats
+
+    if not g.flags.writeable:  # np.asarray of a jax array can be read-only
+        g = g.copy()
+    pid = PART_IDS["front_minarets"]
+    new_pid = PART_IDS["back_minarets"]
+    occ = g == pid
+    bb = _bbox3(occ)
+    if bb is None:
+        return g
+    (X0, X1), (Y0, Y1), (Z0, Z1) = bb
+    comp, n = _host_scipy_label(occ[X0:X1, Y0:Y1, Z0:Z1], "face")
+    if n <= k:
+        return g
+    stats = _host_component_stats(comp, n)
+    # crop-frame centroids: the constant bbox offset does not change the
+    # front-most ranking along sort_axis
+    means = stats["centroid"][1 : n + 1, sort_axis]
+    keep = set((np.argsort(means, kind="stable")[:k] + 1).tolist())
+    recolor_ids = np.array([i for i in range(1, n + 1) if i not in keep], np.int32)
+    sub = g[X0:X1, Y0:Y1, Z0:Z1]
+    sub[np.isin(comp, recolor_ids)] = new_pid
+    return g
+
+
 def reorient_recolor_host(
     grid_true: np.ndarray,  # (w, h, d) uint8, TRUE extent, host
     k: int = 2,
@@ -532,22 +597,17 @@ def reorient_recolor_host(
 ) -> np.ndarray:
     """The persistent transpose(2,1,0)+flip(1) reorientation followed by the
     back-minaret recolor (reference voxel_carving_utils.py:252-266,383-393),
-    entirely on host — the grid is being downloaded for saving anyway, and
-    labeling runs on host on this backend (see pbr3d.ops.components)."""
-    from pbr3d.ops.components import _host_scipy_label, _host_component_stats
-
+    entirely on host (production paths reorient on DEVICE before the flat
+    download and call :func:`recolor_back_host` directly)."""
     g = np.flip(np.transpose(grid_true, (2, 1, 0)), axis=1).copy()
-    pid = PART_IDS["front_minarets"]
-    new_pid = PART_IDS["back_minarets"]
-    comp, n = _host_scipy_label(g == pid, "face")
-    if n <= k:
-        return g
-    stats = _host_component_stats(comp, n)
-    means = stats["centroid"][1 : n + 1, sort_axis]
-    keep = set((np.argsort(means, kind="stable")[:k] + 1).tolist())
-    recolor_ids = np.array([i for i in range(1, n + 1) if i not in keep], np.int32)
-    g[np.isin(comp, recolor_ids)] = new_pid
-    return g
+    return recolor_back_host(g, k, sort_axis)
+
+
+@jax.jit
+def _reorient_device(g):
+    """transpose(2,1,0)+flip(1) on device — the host copy of the 17 MB
+    reorientation cost seconds on this 1-core box."""
+    return jnp.flip(jnp.transpose(g, (2, 1, 0)), 1)
 
 
 def carve_monument_fused(
@@ -603,10 +663,11 @@ def carve_monument_fused(
     if jobs:
         grid_p = _extrude_all(grid_p, jnp.asarray(pad_wh(sem)), true_whd, jobs)
 
-    grid_true = np.asarray(grid_p[:w, :h, :d])  # final download
     if preset.recolor_back_minarets:
-        return reorient_recolor_host(grid_true)
-    return grid_true
+        return recolor_back_host(
+            fast_get(_reorient_device(grid_p[:w, :h, :d]))
+        )
+    return fast_get(grid_p[:w, :h, :d])  # final download
 
 
 def _batched_sweep_budget(whd_values, bucket: int, guided_margin: int):
@@ -697,12 +758,17 @@ def carve_monuments_batched(
     # grouped dispatches (every window commutes — see guided_carve_batched).
     scene_jobs = {}
     with prof("stage1.guided_collect"):
-        for i, m in enumerate(names):
-            w, h, d = whd[m]
-            grid_host = np.asarray(grid_b[i, :w, :h, :d])
-            scene_jobs[i] = _collect_guided_jobs(
-                grid_host, mask_sets[m].exterior_labels, preset.part_symmetry, 32
-            )
+        hosts = {}
+        with prof("stage1.guided_collect.download"):
+            for i, m in enumerate(names):
+                w, h, d = whd[m]
+                hosts[i] = fast_get(grid_b[i, :w, :h, :d])
+        with prof("stage1.guided_collect.label"):
+            for i, m in enumerate(names):
+                scene_jobs[i] = _collect_guided_jobs(
+                    hosts[i], mask_sets[m].exterior_labels,
+                    preset.part_symmetry, 32
+                )
     with prof("stage1.guided_apply"):
         grid_b = guided_carve_batched(grid_b, scene_jobs)
 
@@ -716,11 +782,19 @@ def carve_monuments_batched(
 
     out = {}
     with prof("stage1.download_reorient"):
-        for m in names:
-            w, h, d = whd[m]
-            grid_true = np.asarray(grids[m][:w, :h, :d])
-            out[m] = (
-                reorient_recolor_host(grid_true)
-                if preset.recolor_back_minarets else grid_true
-            )
+        trues = {}
+        with prof("stage1.final.download"):
+            for m in names:
+                w, h, d = whd[m]
+                crop = grids[m][:w, :h, :d]
+                trues[m] = fast_get(
+                    _reorient_device(crop)
+                    if preset.recolor_back_minarets else crop
+                )
+        with prof("stage1.final.recolor"):
+            for m in names:
+                out[m] = (
+                    recolor_back_host(trues[m])
+                    if preset.recolor_back_minarets else trues[m]
+                )
     return out

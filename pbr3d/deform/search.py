@@ -33,6 +33,7 @@ import numpy as np
 
 from pbr3d import config
 from pbr3d.camera.geometry import params_to_vector
+from pbr3d.utils.transfer import fast_get
 from pbr3d.carving.voxel import (
     bucket_size,
     points_by_parts,
@@ -259,7 +260,7 @@ def all_part_zbuffers(
     ids = np.full((_ZB_SLOTS,), 255, np.int32)
     for i, p in enumerate(parts):
         ids[i] = config.PART_IDS[p]
-    zbs = np.asarray(_partwise_zbufs(
+    zbs = fast_get(_partwise_zbufs(
         jnp.asarray(pts), jnp.asarray(labels), jnp.asarray(valid),
         jnp.asarray(cam_vec), jnp.asarray(ids), jnp.asarray(true_hw), Hp, Wp,
     ))
@@ -524,7 +525,7 @@ def optimize_part_deform(
     if _zb_identity is not None:
         zb_id = _zb_identity  # already maintained by refine_parts
     else:
-        zb_id = np.asarray(deformed_zbuffer(
+        zb_id = fast_get(deformed_zbuffer(
             jnp.asarray(IDENTITY_DEFORM), jnp.asarray(p_f), jnp.asarray(v_f),
             cam_vec, true_hw, vs, center, Hp, Wp,
         ))
@@ -535,7 +536,7 @@ def optimize_part_deform(
         out = (IDENTITY_DEFORM.copy(), float(iou_id))
         return (out + (None,)) if _return_zb else out
     with prof(f"opd.{part}.accept_zb", sync=False):
-        zb_best = np.asarray(deformed_zbuffer(
+        zb_best = fast_get(deformed_zbuffer(
             jnp.asarray(best), jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
             true_hw, vs, center, Hp, Wp,
         ))
@@ -668,7 +669,7 @@ def refine_parts(
 
     def zb_at(p: str, deform: np.ndarray) -> np.ndarray:
         pp, vv, _ = padded_sets[p]
-        return np.asarray(deformed_zbuffer(
+        return fast_get(deformed_zbuffer(
             jnp.asarray(deform), pp, vv, cam_vec, true_hw, vs, centers[p],
             Hp, Wp,
         ))

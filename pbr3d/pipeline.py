@@ -288,7 +288,9 @@ def run_stage3(
                 grid_labels, deforms, mask_nb4, cam_final_front, build_fn,
                 zb_i=zb_identity or None, parts=present,
             )
-            deformed = np.asarray(deformed)
+            from pbr3d.utils.transfer import fast_get
+
+            deformed = fast_get(deformed)
     else:
         deform_vecs = {
             p: np.array(
@@ -296,7 +298,9 @@ def run_stage3(
                  d["deform"]["scale_xz"], d["deform"]["shift_xz"]], np.float32)
             for p, d in deforms.items()
         }
-        deformed = np.asarray(build_fn(deform_vecs))
+        from pbr3d.utils.transfer import fast_get
+
+        deformed = fast_get(build_fn(deform_vecs))
     if out_dir is not None:
         base = Path(out_dir) / "3.Part-wise_3D_Refinement"
         save_voxel_grid(base / f"{monument}_deformed_voxel_grid.npz", deformed)
