@@ -15,6 +15,12 @@ byte-compatible with the reference's ``results/`` goldens.
 """
 
 from pbr3d import config
+from pbr3d.utils.hostmem import keep_host_heap
+
+# This container intermittently page-faults fresh memory at ~10-20 MB/s;
+# retaining the heap makes the repeated large host temporaries fault once
+# per process instead of once per use (see pbr3d.utils.hostmem).
+keep_host_heap()
 
 __version__ = "0.1.0"
 

@@ -252,17 +252,22 @@ def _collect_guided_jobs(
         (p, a) for p, a in part_symmetry
         if (exterior_labels == PART_IDS[p]).any()
     ]
+    from pbr3d.utils.profiling import prof
+
     for part, angle in parts:
         target = PART_IDS[part]
-        occ = grid_host == target
-        bb = _bbox3(occ)
+        with prof(f"gcj.{part}.eqbbox", sync=False):
+            occ = grid_host == target
+            bb = _bbox3(occ)
         if bb is None:
             continue
         (X0, X1), (Y0, Y1), (Z0, Z1) = bb
-        comp_c, n = _host_scipy_label(occ[X0:X1, Y0:Y1, Z0:Z1], "face")
+        with prof(f"gcj.{part}.label", sync=False):
+            comp_c, n = _host_scipy_label(occ[X0:X1, Y0:Y1, Z0:Z1], "face")
         if n == 0:
             continue
-        stats = _host_component_stats(comp_c, n)
+        with prof(f"gcj.{part}.stats", sync=False):
+            stats = _host_component_stats(comp_c, n, centroid_axes=())
         mask2d = exterior_labels == target
         for i in range(1, n + 1):
             if stats["count"][i] == 0:
@@ -461,7 +466,7 @@ def guided_carve_all(
         comp_true, n = _host_scipy_label(grid_host == target, "face")
         if n == 0:
             continue
-        stats = _host_component_stats(comp_true, n)
+        stats = _host_component_stats(comp_true, n, centroid_axes=())
         grid_p = _guided_windows_for_part(
             grid_p, comp_true, n, stats, exterior_labels == target,
             int(angle), window_bucket,
@@ -567,19 +572,25 @@ def recolor_back_host(
     the minarets are thin columns)."""
     from pbr3d.ops.components import _host_scipy_label, _host_component_stats
 
-    if not g.flags.writeable:  # np.asarray of a jax array can be read-only
-        g = g.copy()
+    from pbr3d.utils.profiling import prof
+
+    with prof("rbh.copy", sync=False):
+        if not g.flags.writeable:  # np.asarray of a jax array can be read-only
+            g = g.copy()
     pid = PART_IDS["front_minarets"]
     new_pid = PART_IDS["back_minarets"]
-    occ = g == pid
-    bb = _bbox3(occ)
+    with prof("rbh.eqbbox", sync=False):
+        occ = g == pid
+        bb = _bbox3(occ)
     if bb is None:
         return g
     (X0, X1), (Y0, Y1), (Z0, Z1) = bb
-    comp, n = _host_scipy_label(occ[X0:X1, Y0:Y1, Z0:Z1], "face")
+    with prof("rbh.label", sync=False):
+        comp, n = _host_scipy_label(occ[X0:X1, Y0:Y1, Z0:Z1], "face")
     if n <= k:
         return g
-    stats = _host_component_stats(comp, n)
+    with prof("rbh.stats", sync=False):
+        stats = _host_component_stats(comp, n, centroid_axes=(sort_axis,))
     # crop-frame centroids: the constant bbox offset does not change the
     # front-most ranking along sort_axis
     means = stats["centroid"][1 : n + 1, sort_axis]
@@ -689,6 +700,7 @@ def carve_monuments_batched(
     bucket: int = 64,
     guided_margin: int = 64,
     mem_budget_bytes: int = 6 << 30,
+    on_grid=None,
 ) -> dict:
     """Stage 1 for MANY monuments with the big sweeps batched (SURVEY §7 M6).
 
@@ -716,7 +728,12 @@ def carve_monuments_batched(
     )
     B = len(names)
     if est * B > mem_budget_bytes:
-        return {m: carve_monument_fused(mask_sets[m], preset) for m in names}
+        out = {}
+        for m in names:  # serial fallback (golden-res grids): same callback
+            out[m] = carve_monument_fused(mask_sets[m], preset)
+            if on_grid is not None:
+                on_grid(m, out[m])
+        return out
 
     angles = {angle for _, angle in preset.group_jobs}
     if angles != {preset.global_angle_interval}:
@@ -793,8 +810,13 @@ def carve_monuments_batched(
                 )
         with prof("stage1.final.recolor"):
             for m in names:
-                out[m] = (
-                    recolor_back_host(trues[m])
-                    if preset.recolor_back_minarets else trues[m]
-                )
+                with prof(f"stage1.final.recolor.{m}", sync=False):
+                    out[m] = (
+                        recolor_back_host(trues[m])
+                        if preset.recolor_back_minarets else trues[m]
+                    )
+                if on_grid is not None:
+                    # let the caller start per-scene downstream work (e.g.
+                    # stage-2 host prep) while the remaining scenes finalize
+                    on_grid(m, out[m])
     return out

@@ -228,31 +228,49 @@ def connected_components_device(
     return labels, int(n)
 
 
-def _host_component_stats(labels: np.ndarray, n: int):
+def _host_component_stats(labels: np.ndarray, n: int, centroid_axes=None):
     """Host bbox/centroid/count: find_objects (fast C) for the bboxes, then
-    per-component counts/centroids inside the SMALL bbox slices only —
-    full-grid bincount/center_of_mass take tens of seconds on this
-    container's weak CPU."""
+    counts/centroids via weighted bincounts — O(N) total, independent of the
+    component count (the previous per-component argwhere loop cost ~10 s on
+    scenes with many components on this container's weak CPU).
+
+    ``centroid_axes``: which centroid columns to fill (None = all axes,
+    () = none).  Each axis materializes a float64 weight array the size of
+    ``labels`` — on near-full-grid crops that is a ~134 MB temporary whose
+    allocation intermittently stalls for seconds on this box (memory
+    compaction), so callers that only need bboxes/counts skip it."""
     import scipy.ndimage
 
     nd = labels.ndim
     rows = n + 1
     mins = np.full((rows, nd), _BIG, np.int64)
     maxs = np.full((rows, nd), -1, np.int64)
-    counts = np.zeros((rows,), np.float64)
-    centroid = np.zeros((rows, nd), np.float64)
 
     slices = scipy.ndimage.find_objects(labels, max_label=n)
     for i, sl in enumerate(slices, start=1):
         if sl is None:
             continue
-        lo = np.array([s.start for s in sl], np.int64)
-        mins[i] = lo
+        mins[i] = [s.start for s in sl]
         maxs[i] = [s.stop - 1 for s in sl]
-        local = labels[sl] == i
-        counts[i] = local.sum()
-        coords = np.argwhere(local)
-        centroid[i] = coords.mean(axis=0) + lo
+
+    # np.bincount fast-paths ONLY intp input: on this numpy (2.0.2) an int32
+    # array goes through a ~500x slower path (measured 10.4 s vs 0.018 s on
+    # 5.9M elements) — always upcast
+    flat = labels.ravel().astype(np.intp, copy=False)
+    counts = np.bincount(flat, minlength=rows)[:rows].astype(np.float64)
+    counts[0] = 0.0  # background is not a component
+    centroid = np.zeros((rows, nd), np.float64)
+    occupied = counts > 0
+    axes = range(nd) if centroid_axes is None else centroid_axes
+    for ax in axes:
+        shape = [1] * nd
+        shape[ax] = labels.shape[ax]
+        w = np.broadcast_to(
+            np.arange(labels.shape[ax], dtype=np.float64).reshape(shape),
+            labels.shape,
+        )
+        sums = np.bincount(flat, weights=w.ravel(), minlength=rows)[:rows]
+        centroid[occupied, ax] = sums[occupied] / counts[occupied]
     return {
         "bbox_min": mins,
         "bbox_max": maxs,

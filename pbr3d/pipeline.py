@@ -376,6 +376,58 @@ def run_pipeline(
     return PipelineResult(monument, grid1, cameras, deforms, grid3, timings)
 
 
+def _prep_stage2_monument(m: str, grid: np.ndarray, data_root: str | Path):
+    """Host-side per-monument stage-2 prep (3D labeling shared by both
+    views, 2D regions, LM keypoint fit) — numpy/scipy release the GIL, so
+    callers overlap monuments on a small pool (and overlap this with the
+    tail of stage 1's per-scene downloads)."""
+    import sys
+
+    from pbr3d.camera.keypoints import extract_minaret_voxels_by_label
+    from pbr3d.carving.voxel import surface_points_by_parts
+    from pbr3d.utils.profiling import prof
+
+    max_dim = int(np.max(grid.shape))
+    with prof(f"prep.{m}.masks", sync=False):
+        views = {
+            "front": load_mask_labels(data_root, m, "front", max_dim),
+            "drone": load_mask_labels(data_root, m, "drone"),
+        }
+    with prof(f"prep.{m}.vox_parts", sync=False):
+        try:
+            vox_parts = extract_minaret_voxels_by_label(grid)
+        except ValueError:
+            vox_parts = None
+    with prof(f"prep.{m}.shell", sync=False):
+        shell = surface_points_by_parts(grid, list(ALIGN_PARTS))
+    cams = {"init": {}, "kp": {}, "final": {}}
+    mjobs = {}
+    for view, mask in views.items():
+        try:
+            with prof(f"prep.{m}.{view}.kps", sync=False):
+                vox_kps, img_kps = extract_minaret_kps_for_view(
+                    grid, mask, voxel_parts=vox_parts
+                )
+            with prof(f"prep.{m}.{view}.init", sync=False):
+                init = auto_compute_initial_params_matching_bbox(
+                    grid, mask, list(ALIGN_PARTS)
+                )
+        except ValueError as e:
+            print(f"[stage2] {m}/{view} skipped: {e}", file=sys.stderr)
+            continue
+        cams["init"][view] = init
+        with prof(f"prep.{m}.{view}.lm", sync=False):
+            kp = optimize_camera_with_keypoints(
+                vox_kps, img_kps, mask.shape[:2], init
+            )
+        cams["kp"][view] = kp
+        mjobs[(m, view)] = dict(
+            grid_labels=grid, mask_labels=mask, parts=list(ALIGN_PARTS),
+            init_params=kp, points=shell,
+        )
+    return cams, mjobs
+
+
 def _stage2_all_batched(
     monuments: Sequence[str],
     grids: Dict[str, np.ndarray],
@@ -386,6 +438,7 @@ def _stage2_all_batched(
     population: int = 64,
     seed: int = 0,
     on_front_final=None,
+    prep_futures: Optional[Dict] = None,
 ) -> Dict[str, Dict[str, Dict[str, Dict]]]:
     """Stage 2 for every monument with cross-view device batching.
 
@@ -399,61 +452,16 @@ def _stage2_all_batched(
     main search for non-retried views; after the retry merge otherwise).
     Stage 3 depends only on the front camera, so the caller can overlap
     part refinement with the drone-view retry rounds.
-    """
-    import sys
 
+    ``prep_futures`` — optional {monument: Future -> (cams, mjobs)} of
+    already-submitted :func:`_prep_stage2_monument` tasks (run_all submits
+    them as each stage-1 grid finalizes, overlapping prep with the rest of
+    stage 1); monuments not present are prepped here.
+    """
     from pbr3d.camera.align import refine_cameras_batched
-    from pbr3d.camera.keypoints import extract_minaret_voxels_by_label
-    from pbr3d.carving.voxel import surface_points_by_parts
 
     jobs: Dict = {}
     cameras: Dict[str, Dict[str, Dict[str, Dict]]] = {}
-
-    from pbr3d.utils.profiling import prof
-
-    def prep_monument(m: str):
-        """Host-side per-monument prep (3D labeling, 2D regions, LM fit) —
-        numpy/scipy release the GIL, so a small pool overlaps monuments."""
-        grid = grids[m]
-        max_dim = int(np.max(grid.shape))
-        with prof(f"prep.{m}.masks", sync=False):
-            views = {
-                "front": load_mask_labels(data_root, m, "front", max_dim),
-                "drone": load_mask_labels(data_root, m, "drone"),
-            }
-        with prof(f"prep.{m}.vox_parts", sync=False):
-            try:
-                vox_parts = extract_minaret_voxels_by_label(grid)
-            except ValueError:
-                vox_parts = None
-        with prof(f"prep.{m}.shell", sync=False):
-            shell = surface_points_by_parts(grid, list(ALIGN_PARTS))
-        cams = {"init": {}, "kp": {}, "final": {}}
-        mjobs = {}
-        for view, mask in views.items():
-            try:
-                with prof(f"prep.{m}.{view}.kps", sync=False):
-                    vox_kps, img_kps = extract_minaret_kps_for_view(
-                        grid, mask, voxel_parts=vox_parts
-                    )
-                with prof(f"prep.{m}.{view}.init", sync=False):
-                    init = auto_compute_initial_params_matching_bbox(
-                        grid, mask, list(ALIGN_PARTS)
-                    )
-            except ValueError as e:
-                print(f"[stage2] {m}/{view} skipped: {e}", file=sys.stderr)
-                continue
-            cams["init"][view] = init
-            with prof(f"prep.{m}.{view}.lm", sync=False):
-                kp = optimize_camera_with_keypoints(
-                    vox_kps, img_kps, mask.shape[:2], init
-                )
-            cams["kp"][view] = kp
-            mjobs[(m, view)] = dict(
-                grid_labels=grid, mask_labels=mask, parts=list(ALIGN_PARTS),
-                init_params=kp, points=shell,
-            )
-        return cams, mjobs
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -461,7 +469,12 @@ def _stage2_all_batched(
 
     with prof("stage2.prep"):
         with ThreadPoolExecutor(max_workers=3) as ex:
-            futs = {m: ex.submit(prep_monument, m) for m in monuments}
+            futs = dict(prep_futures or {})
+            for m in monuments:
+                if m not in futs:
+                    futs[m] = ex.submit(
+                        _prep_stage2_monument, m, grids[m], data_root
+                    )
             for m in monuments:
                 cams, mjobs = futs[m].result()
                 cameras[m] = cams
@@ -527,13 +540,17 @@ def _stage2_all_batched(
         # native-resolution polish on the top two starts per view only.
         # The triage only RANKS basins (the kept starts are re-polished at
         # native resolution), so it runs on a leaner budget: half the
-        # points, half the plane pixels — basin-scale score differences
-        # are gross compared to this resolution loss (measured: the same
-        # winners rank first at 16k/80k as at 32k/160k on all retried
-        # views, and the triage was costing more than the main search).
+        # points, half the plane pixels, half the generations — basin-scale
+        # score differences are gross compared to this resolution loss
+        # (measured: the same winners rank first at 16k/80k as at 32k/160k
+        # on all retried views, and the triage was costing more than the
+        # main search; the per-view top-2 then get a native re-polish and
+        # the top start a full-budget re-search, which absorbs ranking
+        # noise from the shorter schedule).
         with prof("stage2.retry_triage"):
             coarse = refine_cameras_batched(
-                jobs2, generations=generations, population=population,
+                jobs2, generations=max(6, generations // 2),
+                population=population,
                 seed=seed + 1, polish=False,
                 point_cap=16384, plane_cap=80_000,
             )
@@ -623,6 +640,17 @@ def run_all(
     out_dir = kw.get("out_dir")
     max_dim = kw.get("max_dim")
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    # stage-2 host prep (scipy labeling, LM fits) is submitted per scene the
+    # moment its stage-1 grid finalizes — it overlaps the remaining scenes'
+    # downloads/recolor on this host
+    prep_ex = ThreadPoolExecutor(max_workers=2)
+    prep_futs: Dict[str, object] = {}
+
+    def on_grid_ready(m: str, grid: np.ndarray):
+        prep_futs[m] = prep_ex.submit(_prep_stage2_monument, m, grid, data_root)
+
     grids: Dict[str, np.ndarray] = {}
     t_share: Optional[float] = None
     if batch_stage1 and len(monuments) > 1:
@@ -638,7 +666,7 @@ def run_all(
                 )
                 for m in monuments
             }
-            grids = carve_monuments_batched(sets)
+            grids = carve_monuments_batched(sets, on_grid=on_grid_ready)
             t_share = (time.perf_counter() - t0) / max(len(monuments), 1)
             print(
                 f"[run_all] batched stage1 x{len(grids)}: "
@@ -684,6 +712,7 @@ def run_all(
             cameras_all = _stage2_all_batched(
                 monuments, grids, data_root, out_dir,
                 on_front_final=on_front_final,
+                prep_futures=prep_futs,
                 **(kw.get("stage2_kw") or {}),
             )
             t2_share = (time.perf_counter() - t0) / max(len(monuments), 1)
@@ -708,6 +737,7 @@ def run_all(
                     pass
             futs3.clear()
 
+    prep_ex.shutdown(wait=False)
     if not cameras_all:
         ex3.shutdown(wait=True)
         out: Dict[str, PipelineResult] = {}

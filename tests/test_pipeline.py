@@ -47,3 +47,28 @@ def test_full_pipeline_akbar(data_root, golden_root, tmp_path):
     assert parts3 == {
         config.PART_IDS["front_minarets"], config.PART_IDS["main_door"]
     }
+
+
+@pytest.mark.slow
+def test_run_all_batched_two_monuments(data_root, tmp_path):
+    """run_all's phase-major path: batched stage 1 with per-scene prep
+    callbacks, batched stage 2 (grouped device searches + retry family),
+    overlapped stage 3 — the production orchestration bench.py times."""
+    from pbr3d.pipeline import run_all
+
+    res = run_all(
+        ("Akbar", "Taj"), strict=True, max_dim=96, out_dir=tmp_path,
+        stage2_kw=dict(generations=2, population=8, seed=0),
+        stage3_kw=dict(search_stride=8, chunk=32,
+                       part_names=["front_minarets"],
+                       scale_range=(0.9, 1.1, 3), shift_range=(-20, 20, 3),
+                       refine_steps=3),
+    )
+    assert set(res) == {"Akbar", "Taj"}
+    for m, r in res.items():
+        assert "front" in r.cameras["final"], m
+        assert r.grid_stage3.shape[0] > 0
+        assert (
+            tmp_path / "2.Perspective_Camera_Estimation"
+            / f"{m}_camera_params_final.json"
+        ).exists()
