@@ -34,7 +34,7 @@ import numpy as np
 from pbr3d import config
 from pbr3d.config import PART_IDS
 from pbr3d.ops.carve import _round_up, _stacked_plans_padded, _sweep_scan
-from pbr3d.utils.transfer import fast_get
+from pbr3d.utils.transfer import fast_get, fast_get_async
 
 Array = jax.Array
 
@@ -775,15 +775,18 @@ def carve_monuments_batched(
     # grouped dispatches (every window commutes — see guided_carve_batched).
     scene_jobs = {}
     with prof("stage1.guided_collect"):
-        hosts = {}
-        with prof("stage1.guided_collect.download"):
-            for i, m in enumerate(names):
-                w, h, d = whd[m]
-                hosts[i] = fast_get(grid_b[i, :w, :h, :d])
-        with prof("stage1.guided_collect.label"):
-            for i, m in enumerate(names):
+        # prefetch every scene, then resolve in order: scene i's host
+        # labeling overlaps scenes i+1..'s tunnel transfers
+        resolvers = {}
+        for i, m in enumerate(names):
+            w, h, d = whd[m]
+            resolvers[i] = fast_get_async(grid_b[i, :w, :h, :d])
+        for i, m in enumerate(names):
+            with prof(f"stage1.guided_collect.get.{m}", sync=False):
+                host = resolvers[i]()
+            with prof(f"stage1.guided_collect.label.{m}", sync=False):
                 scene_jobs[i] = _collect_guided_jobs(
-                    hosts[i], mask_sets[m].exterior_labels,
+                    host, mask_sets[m].exterior_labels,
                     preset.part_symmetry, 32
                 )
     with prof("stage1.guided_apply"):
@@ -799,24 +802,26 @@ def carve_monuments_batched(
 
     out = {}
     with prof("stage1.download_reorient"):
-        trues = {}
-        with prof("stage1.final.download"):
-            for m in names:
-                w, h, d = whd[m]
-                crop = grids[m][:w, :h, :d]
-                trues[m] = fast_get(
-                    _reorient_device(crop)
-                    if preset.recolor_back_minarets else crop
+        # same prefetch-then-resolve pipelining as guided_collect: scene
+        # i's recolor CC overlaps scenes i+1..'s downloads
+        final_res = {}
+        for m in names:
+            w, h, d = whd[m]
+            crop = grids[m][:w, :h, :d]
+            final_res[m] = fast_get_async(
+                _reorient_device(crop)
+                if preset.recolor_back_minarets else crop
+            )
+        for m in names:
+            with prof(f"stage1.final.get.{m}", sync=False):
+                true_m = final_res[m]()
+            with prof(f"stage1.final.recolor.{m}", sync=False):
+                out[m] = (
+                    recolor_back_host(true_m)
+                    if preset.recolor_back_minarets else true_m
                 )
-        with prof("stage1.final.recolor"):
-            for m in names:
-                with prof(f"stage1.final.recolor.{m}", sync=False):
-                    out[m] = (
-                        recolor_back_host(trues[m])
-                        if preset.recolor_back_minarets else trues[m]
-                    )
-                if on_grid is not None:
-                    # let the caller start per-scene downstream work (e.g.
-                    # stage-2 host prep) while the remaining scenes finalize
-                    on_grid(m, out[m])
+            if on_grid is not None:
+                # let the caller start per-scene downstream work (e.g.
+                # stage-2 host prep) while the remaining scenes finalize
+                on_grid(m, out[m])
     return out

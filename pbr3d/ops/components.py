@@ -247,11 +247,41 @@ def _host_component_stats(labels: np.ndarray, n: int, centroid_axes=None):
     maxs = np.full((rows, nd), -1, np.int64)
 
     slices = scipy.ndimage.find_objects(labels, max_label=n)
+    vol = 0
     for i, sl in enumerate(slices, start=1):
         if sl is None:
             continue
         mins[i] = [s.start for s in sl]
         maxs[i] = [s.stop - 1 for s in sl]
+        vol += int(np.prod([s.stop - s.start for s in sl]))
+
+    counts = np.zeros((rows,), np.float64)
+    centroid = np.zeros((rows, nd), np.float64)
+    axes = tuple(range(nd)) if centroid_axes is None else tuple(centroid_axes)
+
+    if vol * (1 + len(axes)) < labels.size:
+        # sparse components (e.g. minaret columns inside a near-full-grid
+        # crop): per-slice reductions touch only the bbox volumes —
+        # axis profiles via sum() then a dot with arange, no argwhere
+        for i, sl in enumerate(slices, start=1):
+            if sl is None:
+                continue
+            local = labels[sl] == i
+            c = float(local.sum())
+            counts[i] = c
+            if c == 0.0:
+                continue
+            for ax in axes:
+                other = tuple(a for a in range(nd) if a != ax)
+                prof_ax = local.sum(axis=other, dtype=np.float64)
+                idx = np.arange(sl[ax].start, sl[ax].stop, dtype=np.float64)
+                centroid[i, ax] = float(prof_ax @ idx) / c
+        return {
+            "bbox_min": mins,
+            "bbox_max": maxs,
+            "centroid": centroid,
+            "count": counts,
+        }
 
     # np.bincount fast-paths ONLY intp input: on this numpy (2.0.2) an int32
     # array goes through a ~500x slower path (measured 10.4 s vs 0.018 s on
@@ -259,9 +289,7 @@ def _host_component_stats(labels: np.ndarray, n: int, centroid_axes=None):
     flat = labels.ravel().astype(np.intp, copy=False)
     counts = np.bincount(flat, minlength=rows)[:rows].astype(np.float64)
     counts[0] = 0.0  # background is not a component
-    centroid = np.zeros((rows, nd), np.float64)
     occupied = counts > 0
-    axes = range(nd) if centroid_axes is None else centroid_axes
     for ax in axes:
         shape = [1] * nd
         shape[ax] = labels.shape[ax]

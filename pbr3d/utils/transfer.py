@@ -35,3 +35,23 @@ def fast_get(x) -> np.ndarray:
     if x.ndim <= 1:
         return np.asarray(x)
     return np.asarray(_flat(x)).reshape(x.shape)
+
+
+def fast_get_async(x):
+    """Start the staged download of ``x`` without blocking; returns a
+    zero-arg resolver producing the host ndarray.
+
+    All pending transfers pipeline behind each other on the tunnel, so a
+    caller that prefetches scenes 1..N and then resolves them in order
+    overlaps each scene's host-side work with the NEXT scenes' downloads
+    (the host work here — scipy labeling, recolor CC — is seconds per
+    scene on this 1-core box, comparable to the transfer cost)."""
+    if isinstance(x, np.ndarray) or not isinstance(x, jax.Array):
+        return lambda: fast_get(x)
+    flat = _flat(x) if x.ndim > 1 else x
+    try:
+        flat.copy_to_host_async()
+    except Exception:
+        pass  # backend without async copies: resolver just blocks
+    shape = x.shape
+    return lambda: np.asarray(flat).reshape(shape)
