@@ -37,13 +37,29 @@ from pbr3d.carving.voxel import (
     points_by_parts,
     surface_points_by_parts,
 )
-from pbr3d.ops.projection import partwise_iou, splat_labels
+from pbr3d.ops.projection import (
+    partwise_iou,
+    splat_labels,
+    splat_partwise_iou_mm,
+)
 
 #: Reference step sizes (camera_estimation.py:605-616).
 _STEPS0 = np.array([50, 50, 100, 50, 50, 100, 50, 20, 20], np.float32)
 
+#: Plane-size ceiling for the MXU (one-hot matmul) objective inside search
+#: interiors.  Its cost is 2·K·N·H·W MACs/candidate (~110 µs at 160k px,
+#: N=32k, int8) vs the scatter's fixed ~330 µs — the matmul wins up to
+#: ~0.5M px; above that (native polish planes) the scatter path stays.
+_MM_PLANE_MAX = 1 << 18
 
-def _candidate_iou(x, pts, labels, valid, gt_labels, part_ids, true_hw, H, W):
+
+def _candidate_iou(x, pts, labels, valid, gt_labels, part_ids, true_hw, H, W,
+                   mm: bool = False):
+    if mm:
+        return splat_partwise_iou_mm(
+            pts, labels, valid, x[0:3], x[3:6], x[6], x[7], x[8],
+            gt_labels, part_ids, H, W, true_hw,
+        )[1]
     img = splat_labels(
         pts, labels, valid, x[0:3], x[3:6], x[6], x[7], x[8], H, W, true_hw
     )
@@ -51,10 +67,10 @@ def _candidate_iou(x, pts, labels, valid, gt_labels, part_ids, true_hw, H, W):
 
 
 def _batch_iou_impl(cam_vecs, pts, labels, valid, gt_labels, part_ids, true_hw,
-                    H: int, W: int):
+                    H: int, W: int, mm: bool = False):
     return jax.vmap(
         lambda x: _candidate_iou(x, pts, labels, valid, gt_labels, part_ids,
-                                 true_hw, H, W)
+                                 true_hw, H, W, mm)
     )(cam_vecs)
 
 
@@ -75,6 +91,7 @@ def _search_impl(
     generations: int, population: int, cd_rounds: int,
     lock_xy_equal: bool, pop_chunk: int,
     step_scale: jax.Array | float = 1.0,  # scales all proposal steps
+    mm: bool = False,  # MXU one-hot objective (see splat_partwise_iou_mm)
 ) -> Tuple[jax.Array, jax.Array]:
     """Full random-search + coordinate-descent refinement in ONE program.
 
@@ -88,7 +105,7 @@ def _search_impl(
 
     def eval_batch(vecs):
         ev = lambda b: _batch_iou_impl(
-            b, pts, labels, valid, gt_labels, part_ids, true_hw, H, W
+            b, pts, labels, valid, gt_labels, part_ids, true_hw, H, W, mm
         )
         P = vecs.shape[0]
         if P > pop_chunk:
@@ -151,7 +168,7 @@ _search_device = functools.partial(
     jax.jit,
     static_argnames=(
         "H", "W", "generations", "population", "cd_rounds", "lock_xy_equal",
-        "pop_chunk",
+        "pop_chunk", "mm",
     ),
 )(_search_impl)
 
@@ -160,7 +177,7 @@ _search_device = functools.partial(
     jax.jit,
     static_argnames=(
         "H", "W", "generations", "population", "cd_rounds", "lock_xy_equal",
-        "pop_chunk",
+        "pop_chunk", "mm",
     ),
 )
 def _search_device_multi(
@@ -176,6 +193,7 @@ def _search_device_multi(
     H: int, W: int,
     generations: int, population: int, cd_rounds: int,
     lock_xy_equal: bool, pop_chunk: int,
+    mm: bool = False,
 ):
     """All V views' searches in ONE program (SURVEY §7 M6 for stage 2):
     views padded to a common point bucket and plane bucket, vmapped over the
@@ -185,6 +203,7 @@ def _search_device_multi(
         lambda s, x, p, l, v, g, t, sc: _search_impl(
             s, x, p, l, v, g, part_ids, t, H, W,
             generations, population, cd_rounds, lock_xy_equal, pop_chunk, sc,
+            mm,
         )
     )(seeds, init_vecs, pts, labels, valid, gt_labels, true_hw, step_scales)
 
@@ -297,7 +316,17 @@ def refine_cameras_batched(
             thw_b[i] = cm.shape[:2]
             iv_b[i] = params_to_vector(p["init"])
             sc_b[i] = jobs[k].get("step_scale", 1.0)
-        pop_chunk = max(1, min(population, (1 << 26) // max(1, B * V)))
+        # MXU objective for coarse planes (the scatter splat serializes on
+        # TPU; see splat_partwise_iou_mm).  Its per-candidate working set is
+        # the (N, Hp)+(N, Wp) int8 one-hots, so the chunk budget switches
+        # from point-count to one-hot bytes.
+        mm = Hp * Wp <= _MM_PLANE_MAX
+        if mm:
+            pop_chunk = max(
+                1, min(population, (1 << 29) // max(1, B * (Hp + Wp) * V))
+            )
+        else:
+            pop_chunk = max(1, min(population, (1 << 26) // max(1, B * V)))
         pop_chunk = 1 << (pop_chunk.bit_length() - 1)
         pop = max(pop_chunk, (population // pop_chunk) * pop_chunk)
         out = _search_device_multi(
@@ -307,6 +336,7 @@ def refine_cameras_batched(
             jnp.asarray(prep[gkeys[0]]["part_ids"]),
             jnp.asarray(thw_b), jnp.asarray(sc_b),
             Hp, Wp, generations, pop, 0, lock_xy_equal, pop_chunk,
+            mm,
         )
         pending.append((gkeys, out))
     # collect (blocks; all groups were already enqueued)

