@@ -515,6 +515,10 @@ def refine_camera_mask_iou(
     pop_chunk = 1 << (pop_chunk.bit_length() - 1)  # pow2 -> few compiled shapes
     population = max(pop_chunk, (population // pop_chunk) * pop_chunk)
 
+    # MXU objective for the coarse random-search recursion only: the final
+    # (native, generations=0) call keeps the exact splat so the returned
+    # score stays the reference objective (see splat_partwise_iou_mm).
+    mm = (not _allow_coarse) and generations > 0 and Hp * Wp <= _MM_PLANE_MAX
     best, best_iou = _search_device(
         jnp.int32(seed),
         jnp.asarray(params_to_vector(init_params), jnp.float32),
@@ -524,7 +528,7 @@ def refine_camera_mask_iou(
         jnp.asarray([H, W], jnp.int32),
         Hp, Wp,
         generations, population, cd_rounds, lock_xy_equal, pop_chunk,
-        jnp.float32(step_scale),
+        jnp.float32(step_scale), mm,
     )
     best = np.asarray(best, np.float64)
 
