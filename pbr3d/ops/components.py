@@ -307,12 +307,58 @@ def _host_component_stats(labels: np.ndarray, n: int, centroid_axes=None):
     }
 
 
+#: Below this voxel count the axis-0 divide-and-conquer in
+#: ``_host_scipy_label`` stops paying for its occupancy scan.
+_LABEL_SPLIT_MIN = 1 << 21
+
+
 def _host_scipy_label(mask_np: np.ndarray, connectivity: str) -> Tuple[np.ndarray, int]:
+    """Connected components, scipy-identical output (labels AND numbering).
+
+    Large 3-D inputs are split along axis 0 at an EMPTY slab when one
+    exists: no component can cross an all-empty plane (under either face
+    or full connectivity), and scipy numbers components by first-voxel
+    scan order with axis 0 outermost, so labeling the two sides
+    independently and offsetting the right side's ids reproduces scipy's
+    exact numbering.  The carving parts this labels (e.g. minarets at the
+    grid's x-extremes inside a near-full-grid bbox) typically halve, and
+    each side then recurses on its own tight x-range — the multi-second
+    full-grid labels on this 1-core host drop to the occupied slices."""
     import scipy.ndimage
 
     structure = None
     if connectivity == "full":
         structure = np.ones((3,) * mask_np.ndim, dtype=bool)
+
+    if mask_np.ndim == 3 and mask_np.size >= _LABEL_SPLIT_MIN:
+        colocc = mask_np.any(axis=(1, 2))
+        nz = np.flatnonzero(colocc)
+        if nz.size == 0:
+            return np.zeros(mask_np.shape, np.int32), 0
+        x0, x1 = int(nz[0]), int(nz[-1]) + 1
+        # largest interior empty run within the occupied x-range
+        runs = np.flatnonzero(~colocc[x0:x1])
+        split = None
+        if runs.size:
+            breaks = np.flatnonzero(np.diff(runs) > 1)
+            starts = np.concatenate([[0], breaks + 1])
+            ends = np.concatenate([breaks, [runs.size - 1]])
+            lens = runs[ends] - runs[starts] + 1
+            k = int(np.argmax(lens))
+            split = x0 + int(runs[starts[k]])  # first empty x of the run
+        out = np.zeros(mask_np.shape, np.int32)
+        if split is not None:
+            left, nl = _host_scipy_label(mask_np[x0:split], connectivity)
+            right, nr = _host_scipy_label(mask_np[split:x1], connectivity)
+            out[x0:split] = left
+            np.add(right, np.int32(nl), out=right, where=right > 0)
+            out[split:x1] = right
+            return out, nl + nr
+        if x1 - x0 < mask_np.shape[0]:
+            inner, n = _host_scipy_label(mask_np[x0:x1], connectivity)
+            out[x0:x1] = inner
+            return out, n
+
     labels, n = scipy.ndimage.label(mask_np, structure=structure)
     return labels.astype(np.int32), int(n)
 

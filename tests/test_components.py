@@ -41,6 +41,27 @@ def test_2d_full_connectivity(rng):
     assert _same_partition(ours, ref)
 
 
+def test_host_label_split_matches_scipy_exactly(rng):
+    """The axis-0 divide-and-conquer in _host_scipy_label must reproduce
+    scipy's labels AND numbering bit-exactly (the carve windows and the
+    minaret ranking both consume them).  Build a volume above the split
+    threshold with clustered blobs separated by empty x-slabs — the shape
+    that triggers recursive splits."""
+    from pbr3d.ops.components import _LABEL_SPLIT_MIN, _host_scipy_label
+
+    shape = (160, 128, 128)
+    assert np.prod(shape) >= _LABEL_SPLIT_MIN
+    mask = np.zeros(shape, bool)
+    for xc in (10, 70, 140):  # clusters with empty slabs between them
+        blk = rng.random((20, 128, 128)) > 0.72
+        mask[xc : xc + 20] |= blk
+    for conn, structure in (("face", None), ("full", np.ones((3, 3, 3)))):
+        ours, n = _host_scipy_label(mask, conn)
+        ref, n_ref = scipy.ndimage.label(mask, structure=structure)
+        assert n == n_ref
+        np.testing.assert_array_equal(ours, ref.astype(np.int32))
+
+
 def test_component_stats(rng):
     mask = rng.random((15, 15, 15)) > 0.75
     labels, n = connected_components(mask, "face")
