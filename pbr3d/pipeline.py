@@ -540,9 +540,8 @@ def _stage2_all_batched(
         # native-resolution polish on the top two starts per view only.
         # The triage only RANKS basins (the kept starts are re-polished at
         # native resolution), so it runs on a leaner budget: half the
-        # points, half the plane pixels, half the generations, half the
-        # population — basin-scale score differences are gross compared to
-        # this resolution loss
+        # points, half the plane pixels, half the generations — basin-scale
+        # score differences are gross compared to this resolution loss
         # (measured: the same winners rank first at 16k/80k as at 32k/160k
         # on all retried views, and the triage was costing more than the
         # main search; the per-view top-2 then get a native re-polish and
@@ -551,7 +550,7 @@ def _stage2_all_batched(
         with prof("stage2.retry_triage"):
             coarse = refine_cameras_batched(
                 jobs2, generations=max(6, generations // 2),
-                population=max(64, population // 2),
+                population=population,
                 seed=seed + 1, polish=False,
                 point_cap=16384, plane_cap=80_000,
             )
