@@ -728,11 +728,24 @@ def carve_monuments_batched(
     )
     B = len(names)
     if est * B > mem_budget_bytes:
+        # Per-monument fallback (golden-res grids).  Two worker threads
+        # pipeline the scenes: scene i's host phases (guided-CC labeling,
+        # recolor, downloads) overlap scene i+1's device sweeps.  Device
+        # memory peaks at ~2 sweep working sets, so thread only when that
+        # fits comfortably in the v5e's 16 GB HBM.
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = 2 if (B > 1 and 2 * est <= 12 << 30) else 1
         out = {}
-        for m in names:  # serial fallback (golden-res grids): same callback
-            out[m] = carve_monument_fused(mask_sets[m], preset)
-            if on_grid is not None:
-                on_grid(m, out[m])
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = {
+                m: ex.submit(carve_monument_fused, mask_sets[m], preset)
+                for m in names
+            }
+            for m in names:
+                out[m] = futs[m].result()
+                if on_grid is not None:
+                    on_grid(m, out[m])
         return out
 
     angles = {angle for _, angle in preset.group_jobs}
