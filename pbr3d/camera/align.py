@@ -293,6 +293,8 @@ def refine_cameras_batched(
         hw = tuple(-(-x // 128) * 128 for x in cm.shape[:2])
         groups.setdefault((hw, prep[k]["bucket"]), []).append(k)
 
+    from pbr3d.utils.profiling import prof
+
     coarse_best: Dict = {}
     pending = []
     for ((Hp, Wp), B), gkeys in groups.items():
@@ -329,21 +331,24 @@ def refine_cameras_batched(
             pop_chunk = max(1, min(population, (1 << 26) // max(1, B * V)))
         pop_chunk = 1 << (pop_chunk.bit_length() - 1)
         pop = max(pop_chunk, (population // pop_chunk) * pop_chunk)
-        out = _search_device_multi(
-            jnp.full((V,), seed, jnp.int32),
-            jnp.asarray(iv_b), jnp.asarray(pts_b), jnp.asarray(lab_b),
-            jnp.asarray(val_b), jnp.asarray(gt_b),
-            jnp.asarray(prep[gkeys[0]]["part_ids"]),
-            jnp.asarray(thw_b), jnp.asarray(sc_b),
-            Hp, Wp, generations, pop, 0, lock_xy_equal, pop_chunk,
-            mm,
-        )
+        with prof(f"rcb.group V={V} B={B} hw={Hp}x{Wp} mm={int(mm)} "
+                  f"chunk={pop_chunk} pop={pop}", sync=False):
+            out = _search_device_multi(
+                jnp.full((V,), seed, jnp.int32),
+                jnp.asarray(iv_b), jnp.asarray(pts_b), jnp.asarray(lab_b),
+                jnp.asarray(val_b), jnp.asarray(gt_b),
+                jnp.asarray(prep[gkeys[0]]["part_ids"]),
+                jnp.asarray(thw_b), jnp.asarray(sc_b),
+                Hp, Wp, generations, pop, 0, lock_xy_equal, pop_chunk,
+                mm,
+            )
         pending.append((gkeys, out))
     # collect (blocks; all groups were already enqueued)
     coarse_iou: Dict = {}
     for gkeys, (best, biou) in pending:
-        best = np.asarray(best, np.float64)
-        biou = np.asarray(biou, np.float64)
+        with prof(f"rcb.collect {gkeys[0]}..x{len(gkeys)}"):
+            best = np.asarray(best, np.float64)
+            biou = np.asarray(biou, np.float64)
         for i, k in enumerate(gkeys):
             s = prep[k]["s"]
             vec = best[i].copy()

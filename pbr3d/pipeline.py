@@ -72,10 +72,14 @@ def _retry_starts(kp_params: Dict, grid_shape, view: str = "drone",
                 ("ppc", reparam_principal_point(kp_params, W / 2, H / 2), 1.0))
         return starts
     starts.append(("dolly2", dolly_zoom(kp_params, 2.0), 2.0))
-    for deg in (90, 180, 270):
+    for deg in (90, 270):
         # probed head-to-head on the Charminar and Taj drone views, the
         # dolly-composed yaw starts dominated the bare-yaw ones (e.g. CM:
-        # yaw90 0.456 vs yaw90+dolly2 0.511) — keep only the composed form
+        # yaw90 0.456 vs yaw90+dolly2 0.511) — keep only the composed form.
+        # yaw180 is dropped: the monuments are 4-fold symmetric, so the
+        # opposite-azimuth camera sees the same silhouette class as the kp
+        # basin itself (pp0/dolly2 already cover it) — it never won a
+        # triage across any monument/view in rounds 2-3.
         y = yaw_camera_about_center(kp_params, grid_shape, deg)
         starts.append((f"yaw{deg}+dolly2", dolly_zoom(y, 2.0), 2.0))
     return starts
@@ -527,74 +531,93 @@ def _stage2_all_batched(
     if retry:
         import sys as _sys
 
+        def run_retries(keys, label):
+            """Triage -> top-2 polish -> top-1 re-search for a retry subset.
+
+            Triage is coarse-only and RANKS basins on a leaner budget: half
+            the points, half the plane pixels, half the generations —
+            basin-scale score differences are gross compared to this
+            resolution loss (measured: the same winners rank first at
+            16k/80k as at 32k/160k on all retried views, and the triage was
+            costing more than the main search); the per-view top-2 then get
+            a native re-polish and the top start a full-budget re-search,
+            which absorbs ranking noise from the shorter schedule.  The
+            POPULATION stays full: the triage winner's coarse params seed
+            the polish, and a halved population parks the Charminar drone
+            winner in a worse spot (head-to-head probe: final 0.4926 vs
+            0.5541 at pop 96 vs 192 — the polish cannot recover the gap)."""
+            jobs2 = {}
+            for k in keys:
+                j = retry[k]
+                for tag, init, scale in _retry_starts(
+                    j["init_params"], np.asarray(j["grid_labels"]).shape,
+                    k[1], mask_hw=np.asarray(j["mask_labels"]).shape[:2],
+                ):
+                    jobs2[(k, tag)] = dict(j, init_params=init,
+                                           step_scale=scale)
+            with prof(f"stage2.retry_triage.{label}"):
+                coarse = refine_cameras_batched(
+                    jobs2, generations=max(6, generations // 2),
+                    population=population,
+                    seed=seed + 1, polish=False,
+                    point_cap=16384, plane_cap=80_000,
+                )
+            by_view: Dict = {}
+            for (k, tag), (params, iou) in coarse.items():
+                by_view.setdefault(k, []).append((iou, tag))
+            jobs3 = {}
+            for k, ranked in by_view.items():
+                for _, tag in sorted(ranked, reverse=True)[:2]:
+                    jobs3[(k, tag)] = dict(
+                        jobs2[(k, tag)],
+                        init_params=coarse[(k, tag)][0],
+                    )
+            # two complementary finishes, keep the best of either:
+            # native-res polish of the triage winners' PARAMS (cheap,
+            # usually enough), and a full-budget native-res re-search of
+            # the top start from its ORIGINAL init (the triage's reduced
+            # resolution can park the winner beside a ridge the full-res
+            # search walks; measured at golden res: Itimad front ppH
+            # 0.5976 polished vs 0.6063 re-searched, while Charminar drone
+            # prefers the polished route).
+            jobs4 = {}
+            for k, ranked in by_view.items():
+                _, tag = max(ranked)
+                jobs4[(k, tag)] = dict(jobs2[(k, tag)])
+            with prof(f"stage2.retry_polish.{label}"):
+                finals2 = refine_cameras_batched(
+                    jobs3, generations=0, population=population,
+                    seed=seed + 1
+                )
+                research = refine_cameras_batched(
+                    jobs4, generations=generations, population=population,
+                    seed=seed + 2
+                )
+            for result in (finals2, research):
+                for (k, tag), (params, iou) in result.items():
+                    if iou > finals[k][1]:
+                        print(f"[stage2] {k}: {tag} start improved "
+                              f"{finals[k][1]:.4f} -> {iou:.4f}",
+                              file=_sys.stderr)
+                        finals[k] = (params, iou)
+            with prof(f"stage2.fine_polish_retry.{label}"):
+                fine_polish(keys, 4)
+
         print(f"[stage2] retrying {sorted(retry)} from reparameterized/"
               "dolly/yaw starts", file=_sys.stderr)
-        jobs2 = {}
-        for k, j in retry.items():
-            for tag, init, scale in _retry_starts(
-                j["init_params"], np.asarray(j["grid_labels"]).shape, k[1],
-                mask_hw=np.asarray(j["mask_labels"]).shape[:2],
-            ):
-                jobs2[(k, tag)] = dict(j, init_params=init, step_scale=scale)
-        # triage: coarse-only search over the whole family, then spend the
-        # native-resolution polish on the top two starts per view only.
-        # The triage only RANKS basins (the kept starts are re-polished at
-        # native resolution), so it runs on a leaner budget: half the
-        # points, half the plane pixels, half the generations — basin-scale
-        # score differences are gross compared to this resolution loss
-        # (measured: the same winners rank first at 16k/80k as at 32k/160k
-        # on all retried views, and the triage was costing more than the
-        # main search; the per-view top-2 then get a native re-polish and
-        # the top start a full-budget re-search, which absorbs ranking
-        # noise from the shorter schedule).
-        with prof("stage2.retry_triage"):
-            coarse = refine_cameras_batched(
-                jobs2, generations=max(6, generations // 2),
-                population=population,
-                seed=seed + 1, polish=False,
-                point_cap=16384, plane_cap=80_000,
-            )
-        by_view: Dict = {}
-        for (k, tag), (params, iou) in coarse.items():
-            by_view.setdefault(k, []).append((iou, tag))
-        jobs3 = {}
-        for k, ranked in by_view.items():
-            for _, tag in sorted(ranked, reverse=True)[:2]:
-                jobs3[(k, tag)] = dict(
-                    jobs2[(k, tag)],
-                    init_params=coarse[(k, tag)][0],
-                )
-        # two complementary finishes, keep the best of either: native-res
-        # polish of the triage winners' PARAMS (cheap, usually enough), and
-        # a full-budget native-res re-search of the top start from its
-        # ORIGINAL init (the triage's reduced resolution can park the
-        # winner beside a ridge the full-res search walks; measured at
-        # golden res: Itimad front ppH 0.5976 polished vs 0.6063
-        # re-searched, while Charminar drone prefers the polished route).
-        jobs4 = {}
-        for k, ranked in by_view.items():
-            _, tag = max(ranked)
-            jobs4[(k, tag)] = dict(jobs2[(k, tag)])
-        with prof("stage2.retry_polish"):
-            finals2 = refine_cameras_batched(
-                jobs3, generations=0, population=population, seed=seed + 1
-            )
-            research = refine_cameras_batched(
-                jobs4, generations=generations, population=population,
-                seed=seed + 2
-            )
-        for result in (finals2, research):
-            for (k, tag), (params, iou) in result.items():
-                if iou > finals[k][1]:
-                    print(f"[stage2] {k}: {tag} start improved "
-                          f"{finals[k][1]:.4f} -> {iou:.4f}", file=_sys.stderr)
-                    finals[k] = (params, iou)
-        with prof("stage2.fine_polish_retry"):
-            fine_polish(list(retry), 4)
-        if on_front_final is not None:
-            for (m, view) in retry:
-                if view == "front":
+        # FRONT retries first: stage 3 depends only on the front camera,
+        # so finishing the (small, 3-start) front families before the
+        # drone ones lets the caller overlap the last monument's part
+        # refinement with the whole drone retry chain.
+        fronts = [k for k in retry if k[1] == "front"]
+        drones = [k for k in retry if k[1] != "front"]
+        if fronts:
+            run_retries(fronts, "front")
+            if on_front_final is not None:
+                for (m, view) in fronts:
                     on_front_final(m, finals[(m, view)][0])
+        if drones:
+            run_retries(drones, "drone")
 
     for (m, view), (params, _) in finals.items():
         cameras[m]["final"][view] = params
