@@ -340,6 +340,8 @@ def optimize_part_deform(
     refine_steps: int = 3,
     chunk: int = 64,
     mode: str = "separable",
+    joint_steps: int = 5,
+    exact_topk: int = 12,
     coarse_cap: int = 24576,
     fine_cap: int = 65536,
     _points=None,
@@ -501,6 +503,27 @@ def optimize_part_deform(
         with prof(f"opd.{part}.coarseB", sync=False):
             best = cb[int(np.argmax(ev(cb, p_sc, v_sc, True)))]
 
+        if joint_steps:
+            # Joint 4-D pass around the separable winner: the two separable
+            # sweeps can miss jointly-coupled optima (measured at golden
+            # res: Taj chhatris separable 0.700 vs the full 4-D grid 0.729 —
+            # the winner needs scale_y and scale_xz to move TOGETHER).
+            # ``joint_steps`` scale values spanning +-1.5 coarse steps x 3
+            # shift values spanning +-0.75 steps, approx warp on the coarse
+            # shell (~0.1 s/part), recovers the full grid's winners without
+            # its 9.8k-candidate cost; the +-step/2 refine bridges the rest.
+            js = np.linspace(-1.5 * scale_step, 1.5 * scale_step, joint_steps)
+            jd = np.linspace(-0.75 * shift_step, 0.75 * shift_step, 3)
+            joint = np.array(
+                [best + np.array([a, b, c, d], np.float32)
+                 for a, c in itertools.product(js, js)
+                 for b, d in itertools.product(jd, jd)],
+                np.float32,
+            )
+            joint = np.concatenate([best[None], joint])
+            with prof(f"opd.{part}.joint", sync=False):
+                best = joint[int(np.argmax(ev(joint, p_sc, v_sc, True)))]
+
     # local refinement rounds around the coarse optimum: approx at +-step/2,
     # then exact (7-jitter + rounding) at +-step/6
     for span_s, span_d, approx in (
@@ -516,6 +539,18 @@ def optimize_part_deform(
         )
         fine = np.concatenate([best[None], fine])
         with prof(f"opd.{part}.refine_approx{int(approx)}", sync=False):
+            if not approx and len(fine) > exact_topk > 0:
+                # The 7-jitter exact eval costs 7x the approx warp and was
+                # the dominant per-part search cost (~0.9 s/part at 256).
+                # Pre-rank the window with the approx objective and
+                # exact-evaluate only the leaders + the incumbent: at this
+                # +-step/6 span the approx-vs-exact gap is pixel-rounding
+                # noise, far smaller than the top-k margin, and the
+                # full-set exact acceptance below still guards the result.
+                pre = ev(fine, p_s, v_s, True)
+                keep = np.unique(np.concatenate(
+                    [[0], np.argsort(pre)[-exact_topk:]]))
+                fine = fine[keep]
             ious = ev(fine, p_s, v_s, approx)
             best = fine[int(np.argmax(ious))]
 
@@ -601,6 +636,7 @@ def refine_parts(
     pin_identity: Sequence[str] = PIN_IDENTITY_PARTS,
     overrides: Optional[Dict[str, Dict]] = None,
     verify: bool = True,
+    sweeps: int = 2,
     cache=None,
     table=None,
     zb_identity_out: Optional[Dict[str, np.ndarray]] = None,
@@ -618,6 +654,15 @@ def refine_parts(
     ``verify`` each searched deform is re-checked against identity under the
     FINAL z-buffer and reverted if it regresses, so no init->deformed eval
     cell can fall below identity.
+
+    ``sweeps`` — total coordinate-descent passes over the parts.  Parts
+    searched early are conditioned on STALE occlusion (every later part was
+    still at identity); pass 2+ re-searches exactly the parts whose
+    environment changed since their search, accepting the new deform only if
+    it beats the incumbent under the FINAL conditioning (measured at golden
+    res: Bibi chhatris 0.707 -> 0.761 from re-searching under the final
+    z-buffers — the human slider sessions this replaces iterate the same
+    way, deformation_estimation.py:15-356 re-renders after every change).
     """
     from pbr3d.carving.voxel import PointCache
 
@@ -775,30 +820,63 @@ def refine_parts(
         if p not in pin_identity and p not in overrides
         and _gt_plane(p).sum() > 0
     ]
-    for p in searched:
-        with prof(f"refine_parts.search.{p}"):
-            if table is not None:
-                src_kw = dict(_table=table)
-            else:
-                src_kw = dict(
-                    _points=cache.points_by_parts([p])[0],
-                    _surface_points=cache.surface_points_by_parts([p])[0],
-                )
-            deform, _, zb_new = optimize_part_deform(
-                grid_labels, p, mask_labels, cam,
-                rest_zbuf=rest_zb(p),
-                _device_full=padded_sets[p][:2],
-                _zb_identity=zb_identity[p],
-                _nb=nb_bundle(p),
-                _return_zb=True,
-                **src_kw,
-                **kw,
+    def env_sig(p: str) -> bytes:
+        return b"".join(state[q].tobytes() for q in parts if q != p)
+
+    def search_part(p: str):
+        if table is not None:
+            src_kw = dict(_table=table)
+        else:
+            src_kw = dict(
+                _points=cache.points_by_parts([p])[0],
+                _surface_points=cache.surface_points_by_parts([p])[0],
             )
+        return optimize_part_deform(
+            grid_labels, p, mask_labels, cam,
+            rest_zbuf=rest_zb(p),
+            _device_full=padded_sets[p][:2],
+            _zb_identity=zb_identity[p],
+            _nb=nb_bundle(p),
+            _return_zb=True,
+            **src_kw,
+            **kw,
+        )
+
+    env_at_search: Dict[str, bytes] = {}
+    for p in searched:
+        env_at_search[p] = env_sig(p)
+        with prof(f"refine_parts.search.{p}"):
+            deform, _, zb_new = search_part(p)
             if not np.array_equal(deform, state[p]):
                 state[p] = deform
                 # the accept check already computed the full-set z-buffer
                 # at the winning deform — reuse it instead of re-dispatching
                 zbs[p] = zb_new if zb_new is not None else zb_at(p, deform)
+
+    # Conditioning sweeps: re-search parts whose occlusion environment
+    # changed after their search (see docstring), keeping the incumbent
+    # unless the re-search wins under the FINAL conditioning.
+    for sweep in range(1, max(1, sweeps)):
+        stale = [p for p in searched if env_sig(p) != env_at_search[p]]
+        if not stale:
+            break
+        for p in stale:
+            env_at_search[p] = env_sig(p)
+            with prof(f"refine_parts.resweep{sweep}.{p}"):
+                deform, _, zb_new = search_part(p)
+                if np.array_equal(deform, state[p]):
+                    continue
+                zb_cand = zb_new if zb_new is not None else zb_identity[p]
+                nb = nb_bundle(p)
+                rest = rest_zb(p)
+
+                def _score(zb):
+                    s = _visible_iou_from_zb(zb, rest, _gt_plane(p))
+                    return s - (_nb_drop_penalty(nb, zb) if nb else 0.0)
+
+                if _score(zb_cand) > _score(zbs[p]) + 1e-6:
+                    state[p] = deform
+                    zbs[p] = zb_cand
 
     if verify:
         # Init-anchored verify (pure image math over the maintained per-part

@@ -48,9 +48,13 @@ for mon, parts in by_mon.items():
                            f"{mon}_deform_params.json")) as fh:
         saved = json.load(fh)
     pad = config.STAGE3_PAD.get(mon, 0)
+    # max_dim follows the UNPADDED grid (run_stage3 computes it before
+    # padding; the previous max(padded)-pad form was wrong whenever the
+    # padded axis is not the max axis, loading the mask at 448 instead of
+    # 512 and scoring garbage IoUs)
+    max_dim = int(np.max(grid.shape))
     if pad:
         grid = np.pad(grid, ((0, 0), (0, pad), (0, 0)))
-    max_dim = int(np.max(grid.shape)) - pad
     mask = load_mask_labels(DATA, mon, "front", max_dim)
     table = build_point_table(grid)
     for part in parts:
