@@ -256,19 +256,33 @@ def run_stage3(
         # single CPU core — np.where-style extraction cost seconds per
         # monument and serialized the whole stage)
         table = build_point_table(grid_labels)
+    # Schedule portfolio: the greedy-first search (first_gain_w=0) and the
+    # ensemble-first search (=1) land in different local optima and neither
+    # dominates across monuments (deform/search.refine_parts docstring).
+    # Run both and keep the state with the higher EXACT nb4 table total —
+    # the automated equivalent of the reference operator eyeballing several
+    # slider configurations and keeping the best overlay.  With
+    # exact_verify off there is no exact arbiter, so only the first
+    # variant runs.
+    schedule = search_kw.pop("portfolio", (0.0, 1.0))
+    if not exact_verify:
+        schedule = schedule[:1]
     zb_identity: Dict = {}
     part_points: Dict = {}
-    with prof(f"stage3.{monument}.refine_parts"):
-        deforms = refine_parts(
-            grid_labels, mask, cam_final_front, part_names,
-            overrides=overrides, table=table, zb_identity_out=zb_identity,
-            part_sets_out=part_points,
-            **search_kw,
-        )
+    variants = []
+    for gw in schedule:
+        with prof(f"stage3.{monument}.refine_parts[g{gw:g}]"):
+            variants.append(refine_parts(
+                grid_labels, mask, cam_final_front, part_names,
+                overrides=overrides, table=table,
+                zb_identity_out=zb_identity, part_sets_out=part_points,
+                first_gain_w=gw,
+                **search_kw,
+            ))
     from pbr3d.deform.warp import build_deformed_grid_fused
 
-    centers = {p: table.center(config.PART_IDS[p]) for p in deforms}
-    part_order = [p for p in config.PART_NAMES if p in deforms]
+    centers = {p: table.center(config.PART_IDS[p]) for p in variants[0]}
+    part_order = [p for p in config.PART_NAMES if p in variants[0]]
 
     def build_fn(deform_vecs):
         # one-dispatch rebuild; returns the DEVICE grid (the exact verify
@@ -278,8 +292,17 @@ def run_stage3(
             grid_labels.shape[:3], part_order,
         )
 
+    def _vecs(dd):
+        return {
+            p: np.array(
+                [d["deform"]["scale_y"], d["deform"]["shift_y"],
+                 d["deform"]["scale_xz"], d["deform"]["shift_xz"]], np.float32)
+            for p, d in dd.items()
+        }
+
+    deforms = variants[0]
     if exact_verify:
-        from pbr3d.deform.verify import enforce_no_regression
+        from pbr3d.deform.verify import _nb4_state, enforce_no_regression
         from pbr3d.eval.intra import _load_mask_labels_for_grid
 
         mask_nb4 = _load_mask_labels_for_grid(
@@ -287,6 +310,24 @@ def run_stage3(
         )
         present = [p for p in config.PART_NAMES
                    if p != "background" and table.count(config.PART_IDS[p]) > 0]
+        if len(variants) > 1:
+            import sys
+
+            with prof(f"stage3.{monument}.portfolio_pick"):
+                totals = []
+                zb_i_shared = zb_identity or None
+                for gw, dd in zip(schedule, variants):
+                    cells, zb_i_v, *_ = _nb4_state(
+                        grid_labels, build_fn(_vecs(dd)), mask_nb4,
+                        cam_final_front, zb_i=zb_i_shared, parts=present,
+                    )
+                    zb_i_shared = zb_i_v  # reuse the init z-buffers
+                    totals.append(sum(v for _, v in cells.values()))
+                pick = int(np.argmax(totals))
+                deforms = variants[pick]
+                print(f"[stage3] {monument}: portfolio "
+                      f"{[f'g{g:g}={t:.3f}' for g, t in zip(schedule, totals)]}"
+                      f" -> g{schedule[pick]:g}", file=sys.stderr)
         with prof(f"stage3.{monument}.exact_verify"):
             deforms, deformed = enforce_no_regression(
                 grid_labels, deforms, mask_nb4, cam_final_front, build_fn,

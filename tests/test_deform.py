@@ -217,8 +217,10 @@ def test_deform_coords_approx_matches_exact_zbuffer():
 
 
 def test_penalized_objective_guards_neighbors():
-    """A candidate that occludes a neighbor below its floor must score worse
-    than one that does not, even if its own IoU is slightly higher."""
+    """The ensemble objective must charge a candidate for occluding a
+    neighbor: both the neighbor's lost visible-IoU (gain term) and the
+    below-floor hinge, relative to a state where the neighbor stays fully
+    visible under the SAME bundle."""
     from pbr3d.camera.geometry import params_to_vector
     from pbr3d.carving.voxel import bucket_size, pad_points
     from pbr3d.deform.search import (
@@ -262,17 +264,28 @@ def test_penalized_objective_guards_neighbors():
         center=jnp.asarray(pts.mean(axis=0), jnp.float32),
         nb_zb=jnp.asarray(nb_zb), nb_base=jnp.asarray(nb_base),
         nb_gt=jnp.asarray(nb_gt), nb_floor=jnp.asarray(nb_floor),
-        nb_valid=jnp.asarray(nb_valid), H=Hp, W=Wp,
+        nb_valid=jnp.asarray(nb_valid),
+        nb_gain_w=jnp.asarray(1.0, jnp.float32), H=Hp, W=Wp,
     )
     scored = float(_batch_deform_visible_iou_penalized(
         jnp.asarray(IDENTITY_DEFORM)[None], **kw)[0])
-    # with no valid neighbors the penalty vanishes
+    # with no valid neighbors the neighbor terms vanish -> own IoU only
     kw2 = dict(kw, nb_valid=jnp.asarray(np.zeros((Q,), bool)))
     plain = float(_batch_deform_visible_iou_penalized(
         jnp.asarray(IDENTITY_DEFORM)[None], **kw2)[0])
     assert plain > 0.3
-    # the hinge fired: the occluded neighbor (floor 1.0) costs 3x its drop
-    assert scored < plain - 0.05
+    # same bundle, but the neighbor sits IN FRONT of the part everywhere:
+    # never occluded -> full gain (iou_q = 1), no hinge
+    kw3 = dict(kw, nb_zb=jnp.asarray(np.where(np.isfinite(nb_zb), -1e9,
+                                              np.inf).astype(np.float32)))
+    free = float(_batch_deform_visible_iou_penalized(
+        jnp.asarray(IDENTITY_DEFORM)[None], **kw3)[0])
+    assert free == pytest.approx(plain + 1.0, abs=1e-5)
+    # the part blocks a strip of the neighbor's GT: the candidate is charged
+    # the neighbor's IoU drop AND 3x the below-floor hinge on top
+    assert scored < free - 0.05
+    drop = 1.0 - (scored - plain)  # gain - 3*hinge, hinge = drop here
+    assert drop > 0  # some occlusion actually happened in this geometry
 
 
 def test_enforce_no_regression_reverts_offender():
