@@ -246,6 +246,16 @@ def run_stage3(
     if pad:
         grid_labels = np.pad(grid_labels, ((0, 0), (0, pad), (0, 0)))
     mask = load_mask_labels(data_root, monument, "front", max_dim)
+    if max_dim <= 256:
+        # Fast search profile at preview resolutions: deform steps quantize
+        # to coarser voxels, so fewer exact 7-jitter candidates and a
+        # tighter fine-shell cap lose nothing measurable at <=256 while
+        # cutting the dominant search stage ~2x.  Golden-resolution runs
+        # keep the full-precision defaults (measured there: exact_topk 6
+        # costs Itimad main_door 0.904 -> 0.898).  Callers can override
+        # both through stage3_kw.
+        search_kw.setdefault("exact_topk", 6)
+        search_kw.setdefault("fine_cap", 32768)
 
     from pbr3d.ops.point_table import build_point_table
     from pbr3d.utils.profiling import prof
@@ -267,18 +277,35 @@ def run_stage3(
     schedule = search_kw.pop("portfolio", (0.0, 1.0))
     if not exact_verify:
         schedule = schedule[:1]
-    zb_identity: Dict = {}
-    part_points: Dict = {}
-    variants = []
-    for gw in schedule:
+
+    def _run_variant(gw):
+        zbi: Dict = {}
+        pp: Dict = {}
         with prof(f"stage3.{monument}.refine_parts[g{gw:g}]"):
-            variants.append(refine_parts(
+            d = refine_parts(
                 grid_labels, mask, cam_final_front, part_names,
                 overrides=overrides, table=table,
-                zb_identity_out=zb_identity, part_sets_out=part_points,
+                zb_identity_out=zbi, part_sets_out=pp,
                 first_gain_w=gw,
                 **search_kw,
-            ))
+            )
+        return d, zbi, pp
+
+    if len(schedule) > 1:
+        # The variants are fully independent search chains against a shared
+        # read-only point table; the per-candidate programs are tiny at
+        # bench scale, so each chain is DISPATCH-LATENCY bound (~28 ms
+        # round-trips to the remote device).  Running the chains in threads
+        # pipelines their dispatches and overlaps one chain's host image
+        # math with the other's device waits.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(schedule)) as ex:
+            outs = list(ex.map(_run_variant, schedule))
+    else:
+        outs = [_run_variant(schedule[0])]
+    variants = [o[0] for o in outs]
+    zb_identity, part_points = outs[0][1], outs[0][2]
     from pbr3d.deform.warp import build_deformed_grid_fused
 
     centers = {p: table.center(config.PART_IDS[p]) for p in variants[0]}
