@@ -83,12 +83,32 @@ sections.append("""## Cross-check against the reference's own eval implementatio
 (`/root/reference/utils/eval_helpers_intra.py`, live code, per-point Python
 z-buffers and all) over the same artifacts.  Round 3, on the regenerated
 `results_temp_golden` artifacts for ALL FIVE monuments at golden
-resolution: every printed cell of all three tables matches pbr3d's
-reimplementation to the 3 printed decimals (one cell differs in the 3rd
-decimal by a rounding boundary: CM minaret-IoU average 0.691 vs 0.690).
-The reference-computed part/minaret table also independently confirms the
-no-regression property of the round-3 stage-3 verify: no init→deformed
-part or minaret cell regresses on any monument.
+resolution: every printed row of all three tables is character-identical
+to pbr3d's reimplementation (17/17 rows, /tmp-diffed after the final
+stage-3 portfolio regeneration).  The reference-computed part/minaret
+table also independently confirms the no-regression property of the
+stage-3 exact verify: no init→deformed part or minaret cell regresses on
+any monument.
+
+## Remaining gaps vs the human goldens (capability analysis)
+
+Two golden-resolution cells sit >0.05 below the human goldens; both trace
+to INIT-state differences, not search shortfall:
+
+* **Taj chhatris 0.704 vs 0.811.**  Our init grid is a bit-exact replay of
+  the reference carving code on the current data; its chhatris part has
+  87,611 voxels spanning y 133-170.  The goldens are drifted snapshots
+  whose init chhatris has 126,072 voxels spanning y 132-181 — 44% more
+  material to cover the GT after deformation.  Exhaustively searching the
+  FULL 4-D slider grid for this one cell with every other part frozen at
+  its final deform (scripts/probe_stage3_cells.py) cannot beat 0.7042: the
+  cell is at its ceiling for our grid.
+* **Akbar minarets 0.719 vs 0.779.**  Minarets are pinned to identity on
+  both sides (the row z-tests INIT minaret points against the deformed
+  grid); our identity/init value is already 0.719 vs the golden grid's
+  0.800 init — the 0.06 gap exists before any deformation and reflects the
+  same golden-snapshot drift (stage-1 bit-exactness vs the LIVE reference
+  is asserted by fixtures at 128 and 512).
 """)
 open("/root/repo/EVAL_REPORT.md", "w").write("\n".join(sections))
 print("written EVAL_REPORT.md")
