@@ -528,16 +528,18 @@ def optimize_part_deform(
             # sweeps can miss jointly-coupled optima (measured at golden
             # res: Taj chhatris separable 0.700 vs the full 4-D grid 0.729 —
             # the winner needs scale_y and scale_xz to move TOGETHER).
-            # ``joint_steps`` scale values spanning +-1.5 coarse steps x 3
-            # shift values spanning +-0.75 steps, approx warp on the coarse
-            # shell (~0.1 s/part), recovers the full grid's winners without
-            # its 9.8k-candidate cost; the +-step/2 refine bridges the rest.
+            # ``joint_steps`` scale values spanning +-1.5 coarse steps,
+            # scales only (shifts stay at the separable winner): the
+            # measured coupling is between scale_y and scale_xz (Taj
+            # chhatris), and the +-step/2 refine window that follows
+            # re-opens both shifts anyway.  The old 3x3 shift block
+            # multiplied the joint batch 9x for no observed table gain —
+            # at ~24 ns/point-candidate the 226-candidate joint pass was
+            # the single largest coarse-stage cost.
             js = np.linspace(-1.5 * scale_step, 1.5 * scale_step, joint_steps)
-            jd = np.linspace(-0.75 * shift_step, 0.75 * shift_step, 3)
             joint = np.array(
-                [best + np.array([a, b, c, d], np.float32)
-                 for a, c in itertools.product(js, js)
-                 for b, d in itertools.product(jd, jd)],
+                [best + np.array([a, 0.0, c, 0.0], np.float32)
+                 for a, c in itertools.product(js, js)],
                 np.float32,
             )
             joint = np.concatenate([best[None], joint])
@@ -904,7 +906,12 @@ def refine_parts(
     # just the conditioning; later sweeps only parts whose occlusion
     # environment moved since their last search.
     for sweep in range(1, max(1, sweeps)):
-        if sweep == 1:
+        if sweep == 1 and first_gain_w != 1.0:
+            # The first pass scored candidates with a DIFFERENT objective
+            # (selfish / partial gain), so every part is due a re-search
+            # even if its occlusion environment never moved.  When the
+            # first pass already ran the full ensemble objective
+            # (first_gain_w=1), only conditioning staleness matters.
             stale = list(searched)
         else:
             stale = [p for p in searched if env_sig(p) != env_at_search[p]]
