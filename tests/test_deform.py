@@ -451,3 +451,39 @@ def test_refine_parts_table_matches_cache_path():
                 out_cache[p]["deform"][k], abs=1e-5), (p, k)
         assert out_table[p]["iou"] == pytest.approx(
             out_cache[p]["iou"], abs=1e-5), p
+
+
+def test_resweep_never_lowers_ensemble_total():
+    """The conditioning resweeps accept a move only if the joint (ensemble)
+    score improves, so re-searching under the final z-buffers must not
+    lose table total vs stopping after the first pass (the coordinate-
+    ascent property of the round-3 ensemble objective).  Tolerance covers
+    the half-res neighbor terms in the accept model."""
+    from pbr3d.deform.search import refine_parts
+
+    size = 48
+    grid = np.zeros((size, size, size), np.uint8)
+    did = config.PART_IDS["dome"]
+    wid = config.PART_IDS["windows"]
+    mdid = config.PART_IDS["main_door"]
+    # three interacting parts at staggered depths; every GT square is
+    # offset/larger than its part's footprint so every part wants to move
+    grid[10:16, 20:32, 12:24] = wid
+    grid[18:30, 8:24, 14:30] = did
+    grid[18:26, 24:38, 18:28] = mdid
+    mask = np.zeros((size, size), np.uint8)
+    mask[6:26, 12:28] = did
+    mask[26:36, 14:26] = wid
+    mask[28:40, 26:38] = mdid
+    cam = _simple_cam(size)
+
+    kw = dict(
+        part_names=["dome", "windows", "main_door"],
+        search_stride=1, chunk=16,
+        scale_range=(0.8, 1.2, 3), shift_range=(-10, 10, 3), refine_steps=3,
+    )
+    out1 = refine_parts(grid, mask, cam, sweeps=1, **kw)
+    out2 = refine_parts(grid, mask, cam, sweeps=2, **kw)
+    total1 = sum(d["iou"] for d in out1.values())
+    total2 = sum(d["iou"] for d in out2.values())
+    assert total2 >= total1 - 0.02, (total1, total2, out1, out2)
