@@ -160,6 +160,11 @@ def main():
         print(f"[bench] pass {p + 1}/{passes}: {times[-1]:.1f}s", file=sys.stderr)
     steady = times[1:] if len(times) > 1 else times
     value = statistics.median(steady)
+    # Cold pass = this process's compile wave (the backend's persistent cache
+    # does not transfer across processes); reported alongside the steady
+    # median so the serving number and the fresh-process number are both in
+    # the artifact.
+    cold_s = times[0]
 
     per_stage = {
         m: {k: round(v, 3) for k, v in r.timings.items()} for m, r in results.items()
@@ -203,6 +208,11 @@ def main():
             file=sys.stderr,
         )
 
+    # Stage-1-only wall of the last pass (the batched carve attributes an
+    # equal share per monument) — the apples-to-apples comparison against the
+    # reference baseline, which covers stage 1 ONLY (its stages 2-3 are
+    # human-interactive sessions with no automated time to compare to).
+    stage1_s = sum(r.timings.get("stage1", 0.0) for r in results.values())
     print(
         json.dumps(
             {
@@ -211,6 +221,13 @@ def main():
                 "value": round(value, 3),
                 "unit": "s",
                 "vs_baseline": round(baseline_s / value, 3),
+                "baseline_scope": "reference stage-1 only (its stages 2-3 "
+                                  "are human-interactive; ours are automated "
+                                  "and included in value)",
+                "cold_s": round(cold_s, 3),
+                "stage1_s": round(stage1_s, 3),
+                "vs_stage1_baseline": round(baseline_s / stage1_s, 3)
+                if stage1_s else None,
                 "stage1_iou_min": min(s1_ious.values()) if s1_ious else None,
                 "stage3_whole_iou_min": min(s3_ious.values()) if s3_ious else None,
                 "stage3_mean_part_iou_min": (

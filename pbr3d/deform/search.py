@@ -654,6 +654,27 @@ def _deform_vec(d: Dict) -> np.ndarray:
     )
 
 
+def prepare_shared_state(mask_labels, cam, parts, table):
+    """(part_sets, centers, zb_identity) for :func:`refine_parts` — computed
+    ONCE and shared read-only by the portfolio variants (each variant would
+    otherwise re-extract identical per-part device windows and re-dispatch
+    the identity z-buffer reduction)."""
+    H, W = np.asarray(mask_labels).shape[:2]
+    Hp, Wp = _pad_plane_hw(H, W)
+    part_sets, centers = {}, {}
+    for p in parts:
+        pid = config.PART_IDS[p]
+        n = table.count(pid)
+        pp, vv = table.part_window(pid, 1, bucket_size(n))
+        part_sets[p] = (pp, vv, n)
+        centers[p] = jnp.asarray(table.center(pid), jnp.float32)
+    zb_identity = all_part_zbuffers(
+        table.coords, table.labels, table.valid, params_to_vector(cam),
+        parts, np.asarray([H, W], np.int32), Hp, Wp,
+    )
+    return part_sets, centers, zb_identity
+
+
 def refine_parts(
     grid_labels: np.ndarray,
     mask_labels: np.ndarray,
@@ -669,6 +690,9 @@ def refine_parts(
     table=None,
     zb_identity_out: Optional[Dict[str, np.ndarray]] = None,
     part_sets_out: Optional[Dict] = None,
+    zb_identity_in: Optional[Dict[str, np.ndarray]] = None,
+    part_sets_in: Optional[Dict] = None,
+    centers_in: Optional[Dict] = None,
     **kw,
 ) -> Dict[str, Dict]:
     """Optimize every (present) part; returns {part: {deform, iou}} like the
@@ -695,6 +719,10 @@ def refine_parts(
     replaces iterate the same way, deformation_estimation.py:15-356
     re-renders after every change).  Pass 3+ (if requested) re-searches
     only parts whose environment moved again.
+
+    ``zb_identity_in`` / ``part_sets_in`` / ``centers_in`` — precomputed
+    shared state from :func:`prepare_shared_state` (the portfolio variants
+    share one read-only copy instead of each re-deriving it).
 
     ``first_gain_w`` — neighbor-gain weight for the FIRST pass (0 = greedy
     selfish, 1 = ensemble-scored from the start).  Neither dominates: the
@@ -733,22 +761,29 @@ def refine_parts(
 
     padded_sets = {}
     centers = {}
-    with prof("refine_parts.upload_sets", sync=False):
-        for p in parts:
-            pid = config.PART_IDS[p]
-            if table is not None:
-                # per-part compact sets extracted ON DEVICE from the table
-                # (same bucket shapes as the host pad path -> same
-                # executables downstream, zero upload)
-                n = table.count(pid)
-                pp, vv = table.part_window(pid, 1, bucket_size(n))
-                padded_sets[p] = (pp, vv, n)
-                centers[p] = jnp.asarray(table.center(pid), jnp.float32)
-            else:
-                pts = cache.points_by_parts([p])[0]
-                pp, vv = pad_points_i16(pts, bucket_size(len(pts)))
-                padded_sets[p] = (jnp.asarray(pp), jnp.asarray(vv), len(pts))
-                centers[p] = jnp.asarray(pts.mean(axis=0), jnp.float32)
+    if part_sets_in is not None and centers_in is not None:
+        # Precomputed by the caller — the portfolio variants share ONE copy
+        # (read-only device arrays; each variant's mutable state lives in
+        # its own `state`/`zbs` dicts).
+        padded_sets = dict(part_sets_in)
+        centers = dict(centers_in)
+    else:
+        with prof("refine_parts.upload_sets", sync=False):
+            for p in parts:
+                pid = config.PART_IDS[p]
+                if table is not None:
+                    # per-part compact sets extracted ON DEVICE from the table
+                    # (same bucket shapes as the host pad path -> same
+                    # executables downstream, zero upload)
+                    n = table.count(pid)
+                    pp, vv = table.part_window(pid, 1, bucket_size(n))
+                    padded_sets[p] = (pp, vv, n)
+                    centers[p] = jnp.asarray(table.center(pid), jnp.float32)
+                else:
+                    pts = cache.points_by_parts([p])[0]
+                    pp, vv = pad_points_i16(pts, bucket_size(len(pts)))
+                    padded_sets[p] = (jnp.asarray(pp), jnp.asarray(vv), len(pts))
+                    centers[p] = jnp.asarray(pts.mean(axis=0), jnp.float32)
 
     if part_sets_out is not None:
         # export the (device-resident) padded per-part sets for the caller's
@@ -763,25 +798,29 @@ def refine_parts(
         ))
 
     state: Dict[str, np.ndarray] = {p: IDENTITY_DEFORM.copy() for p in parts}
-    # All parts' identity z-buffers in ONE dispatch (identity deform + the
-    # 7-jitter rounding reproduce the raw integer coords exactly, so the
-    # direct projection is equivalent to deformed_zbuffer at identity).
-    if table is not None:
-        pa, la, va = table.coords, table.labels, table.valid
+    if zb_identity_in is not None and all(p in zb_identity_in for p in parts):
+        zb_identity = {p: zb_identity_in[p] for p in parts}
     else:
-        pts_all, labels_all = cache.all_points()
-        n_all = bucket_size(len(pts_all))
-        pa = np.zeros((n_all, 3), np.int16)
-        la = np.zeros((n_all,), np.uint8)
-        va = np.zeros((n_all,), bool)
-        pa[: len(pts_all)] = pts_all
-        la[: len(pts_all)] = labels_all
-        va[: len(pts_all)] = True
-    with prof("refine_parts.identity_zbufs"):
-        zb_identity = all_part_zbuffers(
-            pa, la, va, params_to_vector(cam), parts,
-            np.asarray([H, W], np.int32), Hp, Wp,
-        )
+        # All parts' identity z-buffers in ONE dispatch (identity deform +
+        # the 7-jitter rounding reproduce the raw integer coords exactly, so
+        # the direct projection is equivalent to deformed_zbuffer at
+        # identity).
+        if table is not None:
+            pa, la, va = table.coords, table.labels, table.valid
+        else:
+            pts_all, labels_all = cache.all_points()
+            n_all = bucket_size(len(pts_all))
+            pa = np.zeros((n_all, 3), np.int16)
+            la = np.zeros((n_all,), np.uint8)
+            va = np.zeros((n_all,), bool)
+            pa[: len(pts_all)] = pts_all
+            la[: len(pts_all)] = labels_all
+            va[: len(pts_all)] = True
+        with prof("refine_parts.identity_zbufs"):
+            zb_identity = all_part_zbuffers(
+                pa, la, va, params_to_vector(cam), parts,
+                np.asarray([H, W], np.int32), Hp, Wp,
+            )
     if zb_identity_out is not None:
         # export for the exact-verify pass: identical to the dense-grid
         # z-buffers (same occupied voxels, same projection), saving it the
@@ -934,6 +973,32 @@ def refine_parts(
                 if _score(zb_cand) > _score(zbs[p]) + 1e-6:
                     state[p] = deform
                     zbs[p] = zb_cand
+
+    # Final staleness re-score (pure image math, no re-search): a part
+    # accepted early in a resweep is scored against the conditioning at ITS
+    # search time; later accepts in the same sweep can invalidate that
+    # improvement.  Re-score every deformed part against identity under the
+    # FINAL conditioning with the full ensemble objective and revert any
+    # that ended net-negative (each revert changes the conditioning, so
+    # iterate to a fixpoint; monotone — every step removes one deform).
+    for _ in range(len(searched)):
+        reverted_any = False
+        for p in searched:
+            if np.array_equal(state[p], IDENTITY_DEFORM):
+                continue
+            nb = nb_bundle(p, 1.0)
+            rest = rest_zb(p)
+
+            def _score(zb):
+                s = _visible_iou_from_zb(zb, rest, _gt_plane(p))
+                return s + (_nb_score(nb, zb) if nb else 0.0)
+
+            if _score(zb_identity[p]) > _score(zbs[p]) + 1e-6:
+                state[p] = IDENTITY_DEFORM.copy()
+                zbs[p] = zb_identity[p]
+                reverted_any = True
+        if not reverted_any:
+            break
 
     if verify:
         # Init-anchored verify (pure image math over the maintained per-part

@@ -278,18 +278,30 @@ def run_stage3(
     if not exact_verify:
         schedule = schedule[:1]
 
+    # Per-part device windows, centroids and identity z-buffers are
+    # variant-independent — compute them ONCE and share read-only across
+    # the portfolio chains (each would otherwise redo ~P+1 dispatches).
+    from pbr3d.deform.search import prepare_shared_state
+
+    all_parts = [p for p in (part_names or
+                             [q for q in config.PART_NAMES if q != "background"])
+                 if table.count(config.PART_IDS[p]) > 0]
+    with prof(f"stage3.{monument}.shared_prep", sync=False):
+        part_sets, centers_j, zb_identity = prepare_shared_state(
+            mask, cam_final_front, all_parts, table
+        )
+    part_points = {p: part_sets[p][:2] for p in all_parts}
+
     def _run_variant(gw):
-        zbi: Dict = {}
-        pp: Dict = {}
         with prof(f"stage3.{monument}.refine_parts[g{gw:g}]"):
-            d = refine_parts(
+            return refine_parts(
                 grid_labels, mask, cam_final_front, part_names,
                 overrides=overrides, table=table,
-                zb_identity_out=zbi, part_sets_out=pp,
+                zb_identity_in=zb_identity, part_sets_in=part_sets,
+                centers_in=centers_j,
                 first_gain_w=gw,
                 **search_kw,
             )
-        return d, zbi, pp
 
     if len(schedule) > 1:
         # The variants are fully independent search chains against a shared
@@ -301,11 +313,9 @@ def run_stage3(
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(schedule)) as ex:
-            outs = list(ex.map(_run_variant, schedule))
+            variants = list(ex.map(_run_variant, schedule))
     else:
-        outs = [_run_variant(schedule[0])]
-    variants = [o[0] for o in outs]
-    zb_identity, part_points = outs[0][1], outs[0][2]
+        variants = [_run_variant(schedule[0])]
     from pbr3d.deform.warp import build_deformed_grid_fused
 
     centers = {p: table.center(config.PART_IDS[p]) for p in variants[0]}
@@ -337,29 +347,64 @@ def run_stage3(
         )
         present = [p for p in config.PART_NAMES
                    if p != "background" and table.count(config.PART_IDS[p]) > 0]
+
+        def _dsnap(dd):
+            return {p: tuple(sorted(d["deform"].items())) for p, d in dd.items()}
+
+        if len(variants) > 1 and all(
+            _dsnap(v) == _dsnap(variants[0]) for v in variants[1:]
+        ):
+            # identical outcomes: the pick (two rebuilds + exact evals)
+            # would arbitrate between equals — skip straight to the verify
+            variants, schedule = variants[:1], schedule[:1]
+
+        zb_i_shared = zb_identity or None
+
+        def _exact_total(grid_def):
+            nonlocal zb_i_shared
+            cells, zb_i_shared, *_ = _nb4_state(
+                grid_labels, grid_def, mask_nb4, cam_final_front,
+                zb_i=zb_i_shared, parts=present,
+            )
+            return sum(v for _, v in cells.values())
+
+        pick = 0
         if len(variants) > 1:
             import sys
 
             with prof(f"stage3.{monument}.portfolio_pick"):
-                totals = []
-                zb_i_shared = zb_identity or None
-                for gw, dd in zip(schedule, variants):
-                    cells, zb_i_v, *_ = _nb4_state(
-                        grid_labels, build_fn(_vecs(dd)), mask_nb4,
-                        cam_final_front, zb_i=zb_i_shared, parts=present,
-                    )
-                    zb_i_shared = zb_i_v  # reuse the init z-buffers
-                    totals.append(sum(v for _, v in cells.values()))
+                totals = [_exact_total(build_fn(_vecs(dd))) for dd in variants]
                 pick = int(np.argmax(totals))
-                deforms = variants[pick]
                 print(f"[stage3] {monument}: portfolio "
                       f"{[f'g{g:g}={t:.3f}' for g, t in zip(schedule, totals)]}"
                       f" -> g{schedule[pick]:g}", file=sys.stderr)
         with prof(f"stage3.{monument}.exact_verify"):
+            before = _dsnap(variants[pick])
             deforms, deformed = enforce_no_regression(
-                grid_labels, deforms, mask_nb4, cam_final_front, build_fn,
-                zb_i=zb_identity or None, parts=present,
+                grid_labels, variants[pick], mask_nb4, cam_final_front,
+                build_fn, zb_i=zb_i_shared, parts=present,
             )
+            if len(variants) > 1 and _dsnap(deforms) != before:
+                # The verify reverted part(s) of the picked variant, so the
+                # pre-verify totals no longer rank the variants — re-verify
+                # the discarded one(s) and arbitrate on POST-verify exact
+                # totals (a reverted winner can fall below a clean loser).
+                import sys
+
+                best_total = _exact_total(deformed)
+                for vi, dd in enumerate(variants):
+                    if vi == pick:
+                        continue
+                    d2, g2 = enforce_no_regression(
+                        grid_labels, dd, mask_nb4, cam_final_front,
+                        build_fn, zb_i=zb_i_shared, parts=present,
+                    )
+                    t2 = _exact_total(g2)
+                    if t2 > best_total:
+                        print(f"[stage3] {monument}: post-verify arbitration "
+                              f"flipped to g{schedule[vi]:g} "
+                              f"({t2:.3f} > {best_total:.3f})", file=sys.stderr)
+                        deforms, deformed, best_total = d2, g2, t2
             from pbr3d.utils.transfer import fast_get
 
             deformed = fast_get(deformed)
