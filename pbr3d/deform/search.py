@@ -158,15 +158,17 @@ def _batch_deform_visible_iou_penalized(
     nb_gt: jax.Array,  # (Q, H/2, W/2) bool — neighbor GT planes, max-pooled
     nb_floor: jax.Array,  # (Q,) f32 — neighbor init-state IoU floors (half-res)
     nb_valid: jax.Array,  # (Q,) bool — padding mask over the neighbor axis
-    nb_gain_w: jax.Array,  # () f32 — weight on the neighbor-IoU gain term
     H: int,
     W: int,
     approx: bool = False,
 ) -> jax.Array:
-    """Ensemble search objective: the candidate's own notebook-4 visible
-    IoU PLUS every neighbor part's visible IoU under the candidate's
-    occlusion (at half resolution), MINUS a hinge penalty for pushing any
-    neighbor below its all-identity IoU floor.
+    """Ensemble search objective COMPONENTS per candidate: (own IoU,
+    Σ neighbor visible IoUs under the candidate's occlusion, Σ hinge drops
+    below the neighbors' all-identity floors) — shape (P, 3).  The caller
+    combines them as ``own + gain_w·gain − NEIGHBOR_PENALTY·drop`` on host,
+    so ONE device evaluation scores a candidate batch under every gain
+    weight at once (the greedy/ensemble portfolio variants share pass-0
+    evaluations this way).
 
     Rationale: the nb4 table (eval_helpers_intra.py:560-748) z-tests every
     part against the WHOLE deformed grid, so a deform that grows part A in
@@ -178,14 +180,14 @@ def _batch_deform_visible_iou_penalized(
     may no longer grab +0.01 on its own cell at a -0.1 cost to a neighbor
     sitting above its floor (the round-3 Taj full_building failure, where
     the floor-only hinge was inactive and windows/chhatris paid).  The gain
-    term is only truthful when the neighbors sit near their FINAL
+    term is only truthful [gain weight 0 = hinge only on the first greedy
+    pass, 1 on the conditioning resweeps] when the neighbors sit near their FINAL
     positions — during the first greedy pass later parts are still at
     identity, and charging a candidate for occluding a neighbor's *current*
     pixels wrongly protects positions the neighbor is about to leave while
     ignoring the GT region it needs to grow into (measured at golden res:
     an ensemble-scored first pass leaves Taj windows at 0.37 vs 0.64 — the
-    big parts refuse to clear its growth region).  Hence ``nb_gain_w=0``
-    (hinge only) on the first pass and 1 on the conditioning resweeps.  The
+    big parts refuse to clear its growth region).  The
     hinge applies either way: dropping a neighbor below its identity floor
     would get the offender REVERTED by the exact nb4 verify, so those
     trades are charged extra.
@@ -221,7 +223,7 @@ def _batch_deform_visible_iou_penalized(
         iou_q = jnp.where(union_q > 0, inter_q / jnp.maximum(union_q, 1.0), 0.0)
         gain = jnp.where(nb_valid, iou_q, 0.0)
         drop = jnp.where(nb_valid, jnp.maximum(nb_floor - iou_q, 0.0), 0.0)
-        return own + nb_gain_w * jnp.sum(gain) - NEIGHBOR_PENALTY * jnp.sum(drop)
+        return jnp.stack([own, jnp.sum(gain), jnp.sum(drop)])
 
     return jax.vmap(one)(deforms)
 
@@ -368,17 +370,43 @@ def optimize_part_deform(
     _device_full=None,
     _zb_identity=None,
     _nb=None,
+    _gain_w: float = 0.0,
+    _dual_gain_w: Optional[float] = None,
+    _dual_out: Optional[Dict] = None,
+    _incumbent: Optional[np.ndarray] = None,
+    _zb_incumbent: Optional[np.ndarray] = None,
+    _window: Optional[Tuple[float, int]] = None,
     _return_zb: bool = False,
     _table=None,
 ) -> Tuple[np.ndarray, float]:
     """Best (scale_y, shift_y, scale_xz, shift_xz) for one part + its IoU.
 
     The objective is the notebook-4 visibility-aware binary IoU of the part
-    (mask == part id vs z-visible deformed points), minus (when ``_nb`` is
-    given) the hinge penalty for pushing neighbor parts below their
-    all-identity IoU floors (see ``_batch_deform_visible_iou_penalized``).
+    (mask == part id vs z-visible deformed points), plus (when ``_nb`` is
+    given) ``_gain_w``·(neighbor visible-IoU sum) minus the hinge penalty
+    for pushing neighbor parts below their all-identity IoU floors (see
+    ``_batch_deform_visible_iou_penalized``).
     ``rest_zbuf`` is the (H, W) min-Z buffer of every OTHER part (defaults
     to no occluders).
+
+    ``_dual_gain_w`` — when set, every evaluation ALSO ranks candidates
+    under that gain weight (free: the device returns score components) and
+    ``_dual_out["diverged"]`` is set True the first time the two objectives
+    would pick different stage winners / top-k sets / accept decisions.
+    While they never diverge, a search chain run at ``_dual_gain_w`` is
+    PROVABLY identical to this one (the stage machine is deterministic), so
+    the caller can skip it (the greedy/ensemble portfolio dedup).
+
+    ``_incumbent``/``_zb_incumbent`` — the part's current accepted deform
+    and its full-set z-buffer: when the search lands back on the incumbent,
+    the final full-set dispatch is skipped (resweeps mostly keep deforms).
+
+    ``_window=(span, n)`` — resweep mode: replace the global coarse A/B +
+    joint stages with two separable n×n offset grids spanning ±span coarse
+    steps around the incumbent (plus the identity and incumbent rows), then
+    the usual refine rounds.  The global slider-space sweep is pass-0 work;
+    conditioning resweeps only need the local neighborhood + the identity
+    revert option.
 
     The default ranges cover the reference's full slider space (scale
     0.5–2.0, shift ±100; deformation_estimation.py:21-25 — the human
@@ -472,7 +500,6 @@ def optimize_part_deform(
             nb_zb=jnp.asarray(_nb["zb"]), nb_base=jnp.asarray(_nb["base"]),
             nb_gt=jnp.asarray(_nb["gt"]), nb_floor=jnp.asarray(_nb["floor"]),
             nb_valid=jnp.asarray(_nb["valid"]),
-            nb_gain_w=jnp.asarray(_nb.get("gain_w", 0.0), jnp.float32),
         )
     else:
         nb_kw = {}
@@ -480,12 +507,33 @@ def optimize_part_deform(
     from pbr3d.utils.profiling import prof
 
     def ev(deforms, pp, vv, approx):
+        # (P,) own IoU without _nb; (P, 3) score components with it
         return _eval_chunked(
             np.asarray(deforms, np.float32), chunk, approx=approx,
             coords=jnp.asarray(pp), valid=jnp.asarray(vv), cam_vec=cam_vec,
             gt_part=gt, rest_zbuf=rest_j, true_hw=true_hw,
             voxel_shape=vs, center=center, H=Hp, W=Wp, **nb_kw,
         )
+
+    gw = float(_gain_w)
+    dual = (_dual_gain_w is not None and _nb is not None
+            and float(_dual_gain_w) != gw)
+    diverged = False
+
+    def sc(vals, w):
+        """Combine device score components under gain weight ``w``."""
+        if vals.ndim == 1:
+            return vals
+        return vals[:, 0] + w * vals[:, 1] - NEIGHBOR_PENALTY * vals[:, 2]
+
+    def pick(cands, vals):
+        nonlocal diverged
+        bp = cands[int(np.argmax(sc(vals, gw)))]
+        if dual and not diverged:
+            be = cands[int(np.argmax(sc(vals, float(_dual_gain_w))))]
+            if not np.array_equal(bp, be):
+                diverged = True
+        return bp
 
     s0, s1, ns = scale_range
     d0, d1, nd = shift_range
@@ -494,7 +542,26 @@ def optimize_part_deform(
     scale_step = (s1 - s0) / max(ns - 1, 1)
     shift_step = (d1 - d0) / max(nd - 1, 1)
 
-    if mode == "full":  # pragma: no cover - diagnostic mode
+    if _window is not None:
+        # Resweep mode: local separable offset grids around the incumbent.
+        span, nw = _window
+        base0 = (np.asarray(_incumbent, np.float32).copy()
+                 if _incumbent is not None else IDENTITY_DEFORM.copy())
+        rs_ = np.linspace(-span * scale_step, span * scale_step, nw)
+        rd_ = np.linspace(-span * shift_step, span * shift_step, nw)
+        ca = np.array(
+            [base0 + np.array([a, b, 0.0, 0.0], np.float32)
+             for a, b in itertools.product(rs_, rd_)], np.float32)
+        ca = np.concatenate([IDENTITY_DEFORM[None], base0[None], ca])
+        with prof(f"opd.{part}.windowA", sync=False):
+            best = pick(ca, ev(ca, p_sc, v_sc, True))
+        cb = np.array(
+            [best + np.array([0.0, 0.0, a, b], np.float32)
+             for a, b in itertools.product(rs_, rd_)], np.float32)
+        cb = np.concatenate([IDENTITY_DEFORM[None], best[None], cb])
+        with prof(f"opd.{part}.windowB", sync=False):
+            best = pick(cb, ev(cb, p_sc, v_sc, True))
+    elif mode == "full":  # pragma: no cover - diagnostic mode
         coarse = np.array(
             [(sy, dy, sxz, dxz) for sy, sxz, dy, dxz in
              itertools.product(scales, scales, shifts, shifts)],
@@ -502,8 +569,7 @@ def optimize_part_deform(
         )
         # Always include identity so we can never regress below it.
         coarse = np.concatenate([IDENTITY_DEFORM[None], coarse])
-        ious = ev(coarse, p_sc, v_sc, True)
-        best = coarse[int(np.argmax(ious))]
+        best = pick(coarse, ev(coarse, p_sc, v_sc, True))
     else:
         # stage A: (scale_y, shift_y) with xz identity
         ca = np.array(
@@ -512,7 +578,7 @@ def optimize_part_deform(
         )
         ca = np.concatenate([IDENTITY_DEFORM[None], ca])
         with prof(f"opd.{part}.coarseA", sync=False):
-            best = ca[int(np.argmax(ev(ca, p_sc, v_sc, True)))]
+            best = pick(ca, ev(ca, p_sc, v_sc, True))
         # stage B: (scale_xz, shift_xz) given the best y
         cb = np.array(
             [(best[0], best[1], sxz, dxz)
@@ -521,30 +587,30 @@ def optimize_part_deform(
         )
         cb = np.concatenate([best[None], cb])
         with prof(f"opd.{part}.coarseB", sync=False):
-            best = cb[int(np.argmax(ev(cb, p_sc, v_sc, True)))]
+            best = pick(cb, ev(cb, p_sc, v_sc, True))
 
-        if joint_steps:
-            # Joint 4-D pass around the separable winner: the two separable
-            # sweeps can miss jointly-coupled optima (measured at golden
-            # res: Taj chhatris separable 0.700 vs the full 4-D grid 0.729 —
-            # the winner needs scale_y and scale_xz to move TOGETHER).
-            # ``joint_steps`` scale values spanning +-1.5 coarse steps,
-            # scales only (shifts stay at the separable winner): the
-            # measured coupling is between scale_y and scale_xz (Taj
-            # chhatris), and the +-step/2 refine window that follows
-            # re-opens both shifts anyway.  The old 3x3 shift block
-            # multiplied the joint batch 9x for no observed table gain —
-            # at ~24 ns/point-candidate the 226-candidate joint pass was
-            # the single largest coarse-stage cost.
-            js = np.linspace(-1.5 * scale_step, 1.5 * scale_step, joint_steps)
-            joint = np.array(
-                [best + np.array([a, 0.0, c, 0.0], np.float32)
-                 for a, c in itertools.product(js, js)],
-                np.float32,
-            )
-            joint = np.concatenate([best[None], joint])
-            with prof(f"opd.{part}.joint", sync=False):
-                best = joint[int(np.argmax(ev(joint, p_sc, v_sc, True)))]
+    if _window is None and mode != "full" and joint_steps:
+        # Joint 4-D pass around the separable winner: the two separable
+        # sweeps can miss jointly-coupled optima (measured at golden
+        # res: Taj chhatris separable 0.700 vs the full 4-D grid 0.729 —
+        # the winner needs scale_y and scale_xz to move TOGETHER).
+        # ``joint_steps`` scale values spanning +-1.5 coarse steps,
+        # scales only (shifts stay at the separable winner): the
+        # measured coupling is between scale_y and scale_xz (Taj
+        # chhatris), and the +-step/2 refine window that follows
+        # re-opens both shifts anyway.  The old 3x3 shift block
+        # multiplied the joint batch 9x for no observed table gain —
+        # at ~24 ns/point-candidate the 226-candidate joint pass was
+        # the single largest coarse-stage cost.
+        js = np.linspace(-1.5 * scale_step, 1.5 * scale_step, joint_steps)
+        joint = np.array(
+            [best + np.array([a, 0.0, c, 0.0], np.float32)
+             for a, c in itertools.product(js, js)],
+            np.float32,
+        )
+        joint = np.concatenate([best[None], joint])
+        with prof(f"opd.{part}.joint", sync=False):
+            best = pick(joint, ev(joint, p_sc, v_sc, True))
 
     # local refinement rounds around the coarse optimum: approx at +-step/2,
     # then exact (7-jitter + rounding) at +-step/6
@@ -570,11 +636,16 @@ def optimize_part_deform(
                 # noise, far smaller than the top-k margin, and the
                 # full-set exact acceptance below still guards the result.
                 pre = ev(fine, p_s, v_s, True)
-                keep = np.unique(np.concatenate(
-                    [[0], np.argsort(pre)[-exact_topk:]]))
+                kp_ = np.argsort(sc(pre, gw))[-exact_topk:]
+                if dual and not diverged:
+                    ke_ = np.argsort(sc(pre, float(_dual_gain_w)))[-exact_topk:]
+                    if set(kp_.tolist()) != set(ke_.tolist()):
+                        # the two objectives would PRUNE differently: the
+                        # shadow chain is no longer provably identical
+                        diverged = True
+                keep = np.unique(np.concatenate([[0], kp_]))
                 fine = fine[keep]
-            ious = ev(fine, p_s, v_s, approx)
-            best = fine[int(np.argmax(ious))]
+            best = pick(fine, ev(fine, p_s, v_s, approx))
 
     # full-set comparison: accept the searched deform only if it beats
     # identity on the full point set too (strided search can overfit), on
@@ -587,11 +658,24 @@ def optimize_part_deform(
             cam_vec, true_hw, vs, center, Hp, Wp,
         ))
     iou_id = _visible_iou_from_zb(zb_id, rest, gt_p)
+
+    def _finish(out2, zb):
+        if _dual_out is not None and diverged:
+            _dual_out["diverged"] = True
+        return (out2 + (zb,)) if _return_zb else out2
+
     if np.array_equal(best, IDENTITY_DEFORM):
         # search kept identity: the full-set dispatch would just recompute
         # the identity z-buffer we already hold
-        out = (IDENTITY_DEFORM.copy(), float(iou_id))
-        return (out + (None,)) if _return_zb else out
+        return _finish((IDENTITY_DEFORM.copy(), float(iou_id)), None)
+    if (_zb_incumbent is not None and _incumbent is not None
+            and np.array_equal(best, np.asarray(_incumbent, np.float32))):
+        # resweep landed back on the incumbent: its full-set z-buffer is
+        # already maintained by the caller — skip the accept dispatch (the
+        # incumbent passed the identity-acceptance when first accepted)
+        iou_inc = _visible_iou_from_zb(_zb_incumbent, rest, gt_p)
+        return _finish((np.asarray(best, np.float32), float(iou_inc)),
+                       _zb_incumbent)
     with prof(f"opd.{part}.accept_zb", sync=False):
         zb_best = fast_get(deformed_zbuffer(
             jnp.asarray(best), jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
@@ -600,13 +684,19 @@ def optimize_part_deform(
     iou_best = _visible_iou_from_zb(zb_best, rest, gt_p)
     score_best, score_id = iou_best, iou_id
     if _nb is not None:
-        score_best = iou_best + _nb_score(_nb, zb_best)
-        score_id = iou_id + _nb_score(_nb, zb_id)
+        g_b, d_b = _nb_components(_nb, zb_best)
+        g_i, d_i = _nb_components(_nb, zb_id)
+        score_best = iou_best + gw * g_b - NEIGHBOR_PENALTY * d_b
+        score_id = iou_id + gw * g_i - NEIGHBOR_PENALTY * d_i
+        if dual and not diverged:
+            w2 = float(_dual_gain_w)
+            acc_e = ((iou_best + w2 * g_b - NEIGHBOR_PENALTY * d_b)
+                     > (iou_id + w2 * g_i - NEIGHBOR_PENALTY * d_i))
+            if acc_e != (score_best > score_id):
+                diverged = True
     if score_best <= score_id:
-        out = (IDENTITY_DEFORM.copy(), float(iou_id))
-        return (out + (None,)) if _return_zb else out
-    out = (np.asarray(best, np.float32), float(iou_best))
-    return (out + (zb_best,)) if _return_zb else out
+        return _finish((IDENTITY_DEFORM.copy(), float(iou_id)), None)
+    return _finish((np.asarray(best, np.float32), float(iou_best)), zb_best)
 
 
 def _min_pool2(z: np.ndarray) -> np.ndarray:
@@ -619,10 +709,11 @@ def _max_pool2(z: np.ndarray) -> np.ndarray:
     return z.reshape(H // 2, 2, W // 2, 2).max(axis=(1, 3))
 
 
-def _nb_score(nb: Dict, zb_part: np.ndarray) -> float:
-    """Host-side mirror of the jitted ensemble neighbor terms (gain-weighted
-    sum of the neighbors' half-res visible IoUs minus the floor hinge), for
-    accept checks — added to the part's own IoU it reproduces the search
+def _nb_components(nb: Dict, zb_part: np.ndarray) -> Tuple[float, float]:
+    """Host-side mirror of the jitted ensemble neighbor terms: (gain, drop)
+    = (sum of the neighbors' half-res visible IoUs, sum of their hinge drops
+    below the identity floors).  Callers combine with their gain weight:
+    ``own + gain_w*gain - NEIGHBOR_PENALTY*drop`` reproduces the search
     score."""
     zc2 = _min_pool2(np.asarray(zb_part))
     vis = nb["base"] & (nb["zb"] < zc2[None] + VIS_EPS)
@@ -631,8 +722,13 @@ def _nb_score(nb: Dict, zb_part: np.ndarray) -> float:
     iou = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
     gain = np.where(nb["valid"], iou, 0.0)
     drop = np.where(nb["valid"], np.maximum(nb["floor"] - iou, 0.0), 0.0)
-    return float(nb.get("gain_w", 0.0) * gain.sum()
-                 - NEIGHBOR_PENALTY * drop.sum())
+    return float(gain.sum()), float(drop.sum())
+
+
+def _nb_score(nb: Dict, zb_part: np.ndarray, gain_w: float = 1.0) -> float:
+    """Combined neighbor score at ``gain_w`` (see ``_nb_components``)."""
+    g, d = _nb_components(nb, zb_part)
+    return gain_w * g - NEIGHBOR_PENALTY * d
 
 
 def _visible_iou_from_zb(
@@ -693,6 +789,9 @@ def refine_parts(
     zb_identity_in: Optional[Dict[str, np.ndarray]] = None,
     part_sets_in: Optional[Dict] = None,
     centers_in: Optional[Dict] = None,
+    dual_gain_w: Optional[float] = None,
+    pass0_done=None,
+    resweep_window: Optional[Tuple[float, int]] = None,
     **kw,
 ) -> Dict[str, Dict]:
     """Optimize every (present) part; returns {part: {deform, iou}} like the
@@ -725,7 +824,19 @@ def refine_parts(
     share one read-only copy instead of each re-deriving it).
 
     ``first_gain_w`` — neighbor-gain weight for the FIRST pass (0 = greedy
-    selfish, 1 = ensemble-scored from the start).  Neither dominates: the
+    selfish, 1 = ensemble-scored from the start).
+
+    ``dual_gain_w`` — shadow gain weight for pass 0: every pass-0 evaluation
+    also ranks candidates under this weight (free — the device returns
+    score components); ``pass0_done(diverged)`` is then called right after
+    pass 0 with whether the two objectives EVER disagreed.  When they never
+    did, a chain run at ``dual_gain_w`` is provably identical to this one,
+    so the portfolio caller skips it (see run_stage3).
+
+    ``resweep_window=(span, n)`` — run the conditioning resweeps with local
+    n×n offset grids spanning ±span coarse steps around each incumbent
+    instead of the full slider-space coarse sweep (see optimize_part_deform
+    ``_window``).  Neither dominates: the
     greedy start wins Taj (an ensemble-scored first pass refuses to clear
     the windows' growth region), the ensemble start wins Itimad (it finds
     the full_building deform that unlocks main_door 0.904, which the
@@ -867,9 +978,10 @@ def refine_parts(
 
     NB_Q = 8  # fixed neighbor-axis padding: one compiled program for all parts
 
-    def nb_bundle(p: str, gain_w: float = 0.0) -> Optional[Dict]:
-        """Half-res neighbor z-buffers/GT/floors for the cross-part terms.
-        ``gain_w`` weights the ensemble gain term (0 = floor hinge only)."""
+    def nb_bundle(p: str) -> Optional[Dict]:
+        """Half-res neighbor z-buffers/GT/floors for the cross-part terms
+        (gain-weight-free: the device returns score components and every
+        consumer combines them with its own gain weight)."""
         others = [q for q in parts if q != p]
         if not others or len(others) > NB_Q:
             return None
@@ -881,7 +993,6 @@ def refine_parts(
             "gt": np.zeros((NB_Q, h2, w2), bool),
             "floor": np.zeros((NB_Q,), np.float32),
             "valid": np.zeros((NB_Q,), bool),
-            "gain_w": float(gain_w),
         }
         Z = np.stack([zb2[q] for q in others])  # (Q, h2, w2)
         s = np.sort(Z, axis=0)
@@ -907,7 +1018,8 @@ def refine_parts(
     def env_sig(p: str) -> bytes:
         return b"".join(state[q].tobytes() for q in parts if q != p)
 
-    def search_part(p: str, gain_w: float = 0.0):
+    def search_part(p: str, gain_w: float = 0.0, dual_out=None,
+                    incumbent=None, window=None):
         if table is not None:
             src_kw = dict(_table=table)
         else:
@@ -920,22 +1032,32 @@ def refine_parts(
             rest_zbuf=rest_zb(p),
             _device_full=padded_sets[p][:2],
             _zb_identity=zb_identity[p],
-            _nb=nb_bundle(p, gain_w),
+            _nb=nb_bundle(p),
+            _gain_w=gain_w,
+            _dual_gain_w=dual_gain_w if dual_out is not None else None,
+            _dual_out=dual_out,
+            _incumbent=incumbent,
+            _zb_incumbent=zbs[p] if incumbent is not None else None,
+            _window=window,
             _return_zb=True,
             **src_kw,
             **kw,
         )
 
+    dual_out = {"diverged": False} if dual_gain_w is not None else None
     env_at_search: Dict[str, bytes] = {}
     for p in searched:
         env_at_search[p] = env_sig(p)
         with prof(f"refine_parts.search.{p}"):
-            deform, _, zb_new = search_part(p, gain_w=first_gain_w)
+            deform, _, zb_new = search_part(p, gain_w=first_gain_w,
+                                            dual_out=dual_out)
             if not np.array_equal(deform, state[p]):
                 state[p] = deform
                 # the accept check already computed the full-set z-buffer
                 # at the winning deform — reuse it instead of re-dispatching
                 zbs[p] = zb_new if zb_new is not None else zb_at(p, deform)
+    if pass0_done is not None:
+        pass0_done(bool(dual_out["diverged"]) if dual_out else None)
 
     # Conditioning resweeps under the ENSEMBLE objective (nb gain term on):
     # with every part near its final position the neighbor charging is
@@ -959,16 +1081,17 @@ def refine_parts(
         for p in stale:
             env_at_search[p] = env_sig(p)
             with prof(f"refine_parts.resweep{sweep}.{p}"):
-                deform, _, zb_new = search_part(p, gain_w=1.0)
+                deform, _, zb_new = search_part(
+                    p, gain_w=1.0, incumbent=state[p], window=resweep_window)
                 if np.array_equal(deform, state[p]):
                     continue
                 zb_cand = zb_new if zb_new is not None else zb_identity[p]
-                nb = nb_bundle(p, 1.0)
+                nb = nb_bundle(p)
                 rest = rest_zb(p)
 
                 def _score(zb):
                     s = _visible_iou_from_zb(zb, rest, _gt_plane(p))
-                    return s + (_nb_score(nb, zb) if nb else 0.0)
+                    return s + (_nb_score(nb, zb, 1.0) if nb else 0.0)
 
                 if _score(zb_cand) > _score(zbs[p]) + 1e-6:
                     state[p] = deform
@@ -986,12 +1109,12 @@ def refine_parts(
         for p in searched:
             if np.array_equal(state[p], IDENTITY_DEFORM):
                 continue
-            nb = nb_bundle(p, 1.0)
+            nb = nb_bundle(p)
             rest = rest_zb(p)
 
             def _score(zb):
                 s = _visible_iou_from_zb(zb, rest, _gt_plane(p))
-                return s + (_nb_score(nb, zb) if nb else 0.0)
+                return s + (_nb_score(nb, zb, 1.0) if nb else 0.0)
 
             if _score(zb_identity[p]) > _score(zbs[p]) + 1e-6:
                 state[p] = IDENTITY_DEFORM.copy()

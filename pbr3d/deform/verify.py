@@ -221,6 +221,7 @@ def enforce_no_regression(
     cache_init: Optional[PointCache] = None,
     zb_i: Optional[Dict[str, np.ndarray]] = None,
     parts: Optional[list] = None,
+    first_state: Optional[tuple] = None,
 ) -> Tuple[Dict[str, Dict], np.ndarray]:
     """Rebuild→verify→revert loop: returns (possibly-updated deforms, grid).
 
@@ -234,6 +235,11 @@ def enforce_no_regression(
     search's identity z-buffers, which are point-set equivalents of the
     dense-grid reduction); used only if they cover every present part at
     the right plane shape.
+
+    ``first_state`` — optional (cells, zb_i, zb_d, gt_planes, parts, mask_p,
+    grid_def): the `_nb4_state` of ``deforms``' rebuilt grid as already
+    computed by the caller (the portfolio pick evaluates exactly this state
+    to rank the variants — rebuilding + re-z-buffering it here is waste).
     """
     def vecs():
         return {
@@ -245,15 +251,18 @@ def enforce_no_regression(
 
     from pbr3d.utils.profiling import prof
 
-    if parts is None:
-        cache_init = cache_init or PointCache(grid_init)
-    with prof("verify.build", sync=False):
-        grid_def = build_fn(vecs())
-    with prof("verify.nb4_state", sync=False):
-        cells, zb_i, zb_d, gt_planes, parts, mask_p = _nb4_state(
-            grid_init, grid_def, mask_nb4, cam, cache_init=cache_init,
-            zb_i=zb_i, parts=parts,
-        )
+    if first_state is not None:
+        cells, zb_i, zb_d, gt_planes, parts, mask_p, grid_def = first_state
+    else:
+        if parts is None:
+            cache_init = cache_init or PointCache(grid_init)
+        with prof("verify.build", sync=False):
+            grid_def = build_fn(vecs())
+        with prof("verify.nb4_state", sync=False):
+            cells, zb_i, zb_d, gt_planes, parts, mask_p = _nb4_state(
+                grid_init, grid_def, mask_nb4, cam, cache_init=cache_init,
+                zb_i=zb_i, parts=parts,
+            )
 
     def _tol(p: str) -> float:
         # Part cells must not regress AT ALL.  The aggregate rows get small

@@ -292,7 +292,7 @@ def run_stage3(
         )
     part_points = {p: part_sets[p][:2] for p in all_parts}
 
-    def _run_variant(gw):
+    def _run_variant(gw, dual_gain_w=None, pass0_done=None):
         with prof(f"stage3.{monument}.refine_parts[g{gw:g}]"):
             return refine_parts(
                 grid_labels, mask, cam_final_front, part_names,
@@ -300,20 +300,38 @@ def run_stage3(
                 zb_identity_in=zb_identity, part_sets_in=part_sets,
                 centers_in=centers_j,
                 first_gain_w=gw,
+                dual_gain_w=dual_gain_w, pass0_done=pass0_done,
                 **search_kw,
             )
 
     if len(schedule) > 1:
-        # The variants are fully independent search chains against a shared
-        # read-only point table; the per-candidate programs are tiny at
-        # bench scale, so each chain is DISPATCH-LATENCY bound (~28 ms
-        # round-trips to the remote device).  Running the chains in threads
-        # pipelines their dispatches and overlaps one chain's host image
-        # math with the other's device waits.
+        # Dual-scored pass 0: every pass-0 evaluation of the first chain is
+        # ALSO ranked under the second chain's gain weight (free — the
+        # device returns score components).  If the two objectives never
+        # disagree on a stage winner / top-k set / accept decision, the
+        # second chain is PROVABLY identical (the search machine is
+        # deterministic) and is skipped outright.  When they do diverge,
+        # the second chain launches immediately — overlapping the first
+        # chain's conditioning resweeps, like the old always-both threads.
+        import sys
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=len(schedule)) as ex:
-            variants = list(ex.map(_run_variant, schedule))
+        ex = ThreadPoolExecutor(max_workers=max(1, len(schedule) - 1))
+        futs = []
+
+        def _pass0_done(diverged):
+            if diverged:
+                for g2 in schedule[1:]:
+                    futs.append(ex.submit(_run_variant, g2))
+
+        v0 = _run_variant(schedule[0], dual_gain_w=schedule[1],
+                          pass0_done=_pass0_done)
+        variants = [v0] + [f.result() for f in futs]
+        ex.shutdown(wait=True)
+        if len(variants) == 1:
+            print(f"[stage3] {monument}: portfolio deduped (pass-0 "
+                  f"objectives never diverged)", file=sys.stderr)
+            schedule = schedule[:1]
     else:
         variants = [_run_variant(schedule[0])]
     from pbr3d.deform.warp import build_deformed_grid_fused
@@ -360,21 +378,28 @@ def run_stage3(
 
         zb_i_shared = zb_identity or None
 
-        def _exact_total(grid_def):
+        def _exact_state(grid_def):
             nonlocal zb_i_shared
-            cells, zb_i_shared, *_ = _nb4_state(
+            cells, zb_i_shared, zb_d, gt_planes, parts_v, mask_p = _nb4_state(
                 grid_labels, grid_def, mask_nb4, cam_final_front,
                 zb_i=zb_i_shared, parts=present,
             )
-            return sum(v for _, v in cells.values())
+            return (cells, zb_i_shared, zb_d, gt_planes, parts_v, mask_p,
+                    grid_def)
+
+        def _exact_total(grid_def):
+            return sum(v for _, v in _exact_state(grid_def)[0].values())
 
         pick = 0
+        pick_state = None
         if len(variants) > 1:
             import sys
 
             with prof(f"stage3.{monument}.portfolio_pick"):
-                totals = [_exact_total(build_fn(_vecs(dd))) for dd in variants]
+                states = [_exact_state(build_fn(_vecs(dd))) for dd in variants]
+                totals = [sum(v for _, v in st[0].values()) for st in states]
                 pick = int(np.argmax(totals))
+                pick_state = states[pick]
                 print(f"[stage3] {monument}: portfolio "
                       f"{[f'g{g:g}={t:.3f}' for g, t in zip(schedule, totals)]}"
                       f" -> g{schedule[pick]:g}", file=sys.stderr)
@@ -383,6 +408,7 @@ def run_stage3(
             deforms, deformed = enforce_no_regression(
                 grid_labels, variants[pick], mask_nb4, cam_final_front,
                 build_fn, zb_i=zb_i_shared, parts=present,
+                first_state=pick_state,
             )
             if len(variants) > 1 and _dsnap(deforms) != before:
                 # The verify reverted part(s) of the picked variant, so the

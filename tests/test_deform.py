@@ -224,7 +224,7 @@ def test_penalized_objective_guards_neighbors():
     from pbr3d.camera.geometry import params_to_vector
     from pbr3d.carving.voxel import bucket_size, pad_points
     from pbr3d.deform.search import (
-        IDENTITY_DEFORM, _batch_deform_visible_iou_penalized,
+        IDENTITY_DEFORM, NEIGHBOR_PENALTY, _batch_deform_visible_iou_penalized,
     )
 
     size = 32
@@ -264,22 +264,27 @@ def test_penalized_objective_guards_neighbors():
         center=jnp.asarray(pts.mean(axis=0), jnp.float32),
         nb_zb=jnp.asarray(nb_zb), nb_base=jnp.asarray(nb_base),
         nb_gt=jnp.asarray(nb_gt), nb_floor=jnp.asarray(nb_floor),
-        nb_valid=jnp.asarray(nb_valid),
-        nb_gain_w=jnp.asarray(1.0, jnp.float32), H=Hp, W=Wp,
+        nb_valid=jnp.asarray(nb_valid), H=Hp, W=Wp,
     )
-    scored = float(_batch_deform_visible_iou_penalized(
-        jnp.asarray(IDENTITY_DEFORM)[None], **kw)[0])
+
+    def comb(out, w=1.0):
+        # the device returns (own, gain, drop) components per candidate
+        o = np.asarray(out[0], np.float64)
+        return float(o[0] + w * o[1] - NEIGHBOR_PENALTY * o[2])
+
+    scored = comb(_batch_deform_visible_iou_penalized(
+        jnp.asarray(IDENTITY_DEFORM)[None], **kw))
     # with no valid neighbors the neighbor terms vanish -> own IoU only
     kw2 = dict(kw, nb_valid=jnp.asarray(np.zeros((Q,), bool)))
-    plain = float(_batch_deform_visible_iou_penalized(
-        jnp.asarray(IDENTITY_DEFORM)[None], **kw2)[0])
+    plain = comb(_batch_deform_visible_iou_penalized(
+        jnp.asarray(IDENTITY_DEFORM)[None], **kw2))
     assert plain > 0.3
     # same bundle, but the neighbor sits IN FRONT of the part everywhere:
     # never occluded -> full gain (iou_q = 1), no hinge
     kw3 = dict(kw, nb_zb=jnp.asarray(np.where(np.isfinite(nb_zb), -1e9,
                                               np.inf).astype(np.float32)))
-    free = float(_batch_deform_visible_iou_penalized(
-        jnp.asarray(IDENTITY_DEFORM)[None], **kw3)[0])
+    free = comb(_batch_deform_visible_iou_penalized(
+        jnp.asarray(IDENTITY_DEFORM)[None], **kw3))
     assert free == pytest.approx(plain + 1.0, abs=1e-5)
     # the part blocks a strip of the neighbor's GT: the candidate is charged
     # the neighbor's IoU drop AND 3x the below-floor hinge on top
