@@ -231,6 +231,7 @@ def refine_cameras_batched(
     polish: bool = True,
     point_cap: int = 32768,
     plane_cap: int = 160_000,
+    shard_devices: bool = False,
 ) -> Dict:
     # per-job dict may carry "step_scale" (default 1.0): proposal-step
     # multiplier for searches whose init sits at a larger world scale than
@@ -331,12 +332,27 @@ def refine_cameras_batched(
             pop_chunk = max(1, min(population, (1 << 26) // max(1, B * V)))
         pop_chunk = 1 << (pop_chunk.bit_length() - 1)
         pop = max(pop_chunk, (population // pop_chunk) * pop_chunk)
+        seeds_b = np.full((V,), seed, np.int32)
+        args = [seeds_b, iv_b, pts_b, lab_b, val_b, gt_b]
+        if shard_devices and len(jax.devices()) > 1:
+            # Data-parallel over the view axis: each device runs its share
+            # of the group's searches (zero communication — searches are
+            # independent).  Outputs are unchanged; per-view programs are
+            # deterministic given the seed.
+            from pbr3d.parallel.sharding import (
+                scene_only_mesh, shard_batch_leading,
+            )
+
+            mesh = scene_only_mesh(V)
+            if mesh is not None:
+                args = [shard_batch_leading(a, mesh) for a in args]
         with prof(f"rcb.group V={V} B={B} hw={Hp}x{Wp} mm={int(mm)} "
                   f"chunk={pop_chunk} pop={pop}", sync=False):
             out = _search_device_multi(
-                jnp.full((V,), seed, jnp.int32),
-                jnp.asarray(iv_b), jnp.asarray(pts_b), jnp.asarray(lab_b),
-                jnp.asarray(val_b), jnp.asarray(gt_b),
+                jnp.asarray(args[0]),
+                jnp.asarray(args[1]), jnp.asarray(args[2]),
+                jnp.asarray(args[3]),
+                jnp.asarray(args[4]), jnp.asarray(args[5]),
                 jnp.asarray(prep[gkeys[0]]["part_ids"]),
                 jnp.asarray(thw_b), jnp.asarray(sc_b),
                 Hp, Wp, generations, pop, 0, lock_xy_equal, pop_chunk,

@@ -701,6 +701,7 @@ def carve_monuments_batched(
     guided_margin: int = 64,
     mem_budget_bytes: int = 6 << 30,
     on_grid=None,
+    mesh=None,
 ) -> dict:
     """Stage 1 for MANY monuments with the big sweeps batched (SURVEY §7 M6).
 
@@ -710,6 +711,13 @@ def carve_monuments_batched(
     this backend one compile WAVE per process).  The component-guided carve
     stays per-monument (host connected-components labeling, see
     guided_carve_all), but its window programs are shared across scenes.
+
+    ``mesh`` — optional ("scene",) device mesh
+    (:func:`pbr3d.parallel.sharding.scene_only_mesh`): the stacked scene
+    inputs are placed with the batch axis sharded across devices, so the
+    vmapped sweep/extrusion programs run data-parallel over ICI with zero
+    communication (run_all passes this whenever >1 device is visible;
+    outputs are unchanged — asserted by tests/test_parallel.py).
 
     Outputs are bit-identical to :func:`carve_monument_fused` per monument
     (padding-independence of the embedded rotation plans).  Falls back to the
@@ -776,6 +784,14 @@ def carve_monuments_batched(
     dec_b = np.stack([p[1] for p in plans])
 
     from pbr3d.utils.profiling import prof
+
+    if mesh is not None and binary_b.shape[0] % mesh.shape["scene"] == 0:
+        from pbr3d.parallel.sharding import shard_batch_leading
+
+        binary_b, ext_b, sem_b, true_b, idx_b, dec_b = (
+            shard_batch_leading(a, mesh)
+            for a in (binary_b, ext_b, sem_b, true_b, idx_b, dec_b)
+        )
 
     with prof("stage1.sweep"):
         grid_b = _global_and_part_carve_batched(

@@ -37,6 +37,28 @@ def scene_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs).reshape(scene, n // scene), ("scene", "y"))
 
 
+def scene_only_mesh(batch: int, n_devices: int | None = None) -> Mesh | None:
+    """A 1-axis ("scene",) mesh for data-parallel batches of ``batch``
+    scenes: uses the largest divisor of ``batch`` that fits the available
+    devices (NamedSharding requires the sharded axis to divide evenly).
+    Returns None when only one device would be used — callers then skip
+    sharding entirely."""
+    devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+    k = max(d for d in range(1, min(batch, len(devs)) + 1) if batch % d == 0)
+    if k <= 1:
+        return None
+    return Mesh(np.array(devs[:k]), ("scene",))
+
+
+def shard_batch_leading(arr, mesh: Mesh):
+    """Place an array with its LEADING axis sharded over ``mesh``'s scene
+    axis (all other axes replicated) — the zero-communication data-parallel
+    layout for scene/view batches."""
+    a = jnp.asarray(arr)
+    spec = ["scene"] + [None] * (a.ndim - 1)
+    return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+
 def pad_masks_to_common(mask_sets: Sequence) -> Tuple[np.ndarray, np.ndarray]:
     """Stack per-monument (binary, exterior-label) masks into common-shape
     batches (zero padding = carve-away region, a no-op for the pipeline)."""

@@ -582,6 +582,7 @@ def _stage2_all_batched(
     seed: int = 0,
     on_front_final=None,
     prep_futures: Optional[Dict] = None,
+    shard_devices: bool = False,
 ) -> Dict[str, Dict[str, Dict[str, Dict]]]:
     """Stage 2 for every monument with cross-view device batching.
 
@@ -627,7 +628,8 @@ def _stage2_all_batched(
         return cameras
     with prof("stage2.main_search"):
         finals = refine_cameras_batched(
-            jobs, generations=generations, population=population, seed=seed
+            jobs, generations=generations, population=population, seed=seed,
+            shard_devices=shard_devices,
         )
 
     # Low-scoring views get a FAMILY of second starts — all stacked into
@@ -655,7 +657,7 @@ def _stage2_all_batched(
             return
         out = refine_cameras_batched(
             jf, generations=generations, population=population,
-            seed=seed + seed_off,
+            seed=seed + seed_off, shard_devices=shard_devices,
         )
         for k, (params, iou) in out.items():
             if iou > finals[k][1]:
@@ -700,6 +702,7 @@ def _stage2_all_batched(
                     population=population,
                     seed=seed + 1, polish=False,
                     point_cap=16384, plane_cap=80_000,
+                    shard_devices=shard_devices,
                 )
             by_view: Dict = {}
             for (k, tag), (params, iou) in coarse.items():
@@ -726,11 +729,11 @@ def _stage2_all_batched(
             with prof(f"stage2.retry_polish.{label}"):
                 finals2 = refine_cameras_batched(
                     jobs3, generations=0, population=population,
-                    seed=seed + 1
+                    seed=seed + 1, shard_devices=shard_devices,
                 )
                 research = refine_cameras_batched(
                     jobs4, generations=generations, population=population,
-                    seed=seed + 2
+                    seed=seed + 2, shard_devices=shard_devices,
                 )
             for result in (finals2, research):
                 for (k, tag), (params, iou) in result.items():
@@ -813,6 +816,18 @@ def run_all(
     def on_grid_ready(m: str, grid: np.ndarray):
         prep_futs[m] = prep_ex.submit(_prep_stage2_monument, m, grid, data_root)
 
+    # Multi-device: shard the scene/view batches across every visible chip
+    # (data parallel over ICI, zero communication; SURVEY §5 distributed
+    # row).  On the usual single-chip run this is a no-op.
+    import jax as _jax
+
+    shard_devices = len(_jax.devices()) > 1
+    mesh1 = None
+    if shard_devices:
+        from pbr3d.parallel.sharding import scene_only_mesh
+
+        mesh1 = scene_only_mesh(len(monuments))
+
     grids: Dict[str, np.ndarray] = {}
     t_share: Optional[float] = None
     if batch_stage1 and len(monuments) > 1:
@@ -828,7 +843,8 @@ def run_all(
                 )
                 for m in monuments
             }
-            grids = carve_monuments_batched(sets, on_grid=on_grid_ready)
+            grids = carve_monuments_batched(sets, on_grid=on_grid_ready,
+                                            mesh=mesh1)
             t_share = (time.perf_counter() - t0) / max(len(monuments), 1)
             print(
                 f"[run_all] batched stage1 x{len(grids)}: "
@@ -875,6 +891,7 @@ def run_all(
                 monuments, grids, data_root, out_dir,
                 on_front_final=on_front_final,
                 prep_futures=prep_futs,
+                shard_devices=shard_devices,
                 **(kw.get("stage2_kw") or {}),
             )
             t2_share = (time.perf_counter() - t0) / max(len(monuments), 1)

@@ -159,3 +159,71 @@ def test_batched_stage1_active_at_bench_resolution(data_root):
         f"batched stage-1 would fall back to serial at 256: "
         f"{per_scene * len(whd) / 1e9:.2f} GB > {budget / 1e9:.2f} GB"
     )
+
+
+@pytest.mark.slow
+def test_run_all_sharded_matches_single_device(data_root, tmp_path):
+    """VERDICT r3 #4: the PRODUCTION pipeline on a multi-device mesh.
+
+    Under the 8-virtual-device CPU env, run_all auto-shards the stage-1
+    scene batch and the stage-2 view groups (scene_only_mesh /
+    shard_devices).  Every output must equal the single-device path:
+    stage-1 grids bit-exact vs the unsharded fused carve, stage-2 finals
+    identical to an unsharded refine_cameras_batched of the same jobs."""
+    from pbr3d.camera.align import refine_cameras_batched
+    from pbr3d.carving.fused import carve_monument_fused
+    from pbr3d.carving.voxel import surface_points_by_parts
+    from pbr3d.io.masks import load_mask_labels, prepare_masks
+    from pbr3d.pipeline import ALIGN_PARTS, run_all
+
+    assert len(jax.devices()) >= 2  # conftest forces 8 virtual CPU devices
+
+    monuments = ("Akbar", "Charminar")
+    res = run_all(
+        monuments, strict=True, max_dim=96, out_dir=tmp_path,
+        stage2_kw=dict(generations=2, population=8, seed=0),
+        stage3_kw=dict(search_stride=8, chunk=32,
+                       part_names=["front_minarets"],
+                       scale_range=(0.9, 1.1, 3), shift_range=(-20, 20, 3),
+                       refine_steps=3),
+    )
+    assert set(res) == set(monuments)
+
+    # stage 1: sharded batched carve == unsharded per-monument fused carve
+    for m in monuments:
+        single = carve_monument_fused(prepare_masks(data_root, m, "front", 96))
+        np.testing.assert_array_equal(res[m].grid_stage1, single)
+
+    # stage 2: sharded grouped search == unsharded on identical jobs
+    jobs = {}
+    for m in monuments:
+        grid = res[m].grid_stage1
+        mask = load_mask_labels(data_root, m, "front", 96)
+        from pbr3d.camera.keypoints import extract_minaret_kps_for_view
+        from pbr3d.camera.estimate import (
+            auto_compute_initial_params_matching_bbox,
+            optimize_camera_with_keypoints,
+        )
+
+        vox_kps, img_kps = extract_minaret_kps_for_view(grid, mask)
+        init = auto_compute_initial_params_matching_bbox(
+            grid, mask, list(ALIGN_PARTS))
+        kp = optimize_camera_with_keypoints(vox_kps, img_kps, mask.shape[:2],
+                                            init)
+        jobs[(m, "front")] = dict(
+            grid_labels=grid, mask_labels=mask, parts=list(ALIGN_PARTS),
+            init_params=kp,
+            points=surface_points_by_parts(grid, list(ALIGN_PARTS)),
+        )
+    out_sharded = refine_cameras_batched(
+        jobs, generations=2, population=8, seed=0, shard_devices=True)
+    out_single = refine_cameras_batched(
+        jobs, generations=2, population=8, seed=0, shard_devices=False)
+    for k in jobs:
+        assert out_sharded[k][1] == pytest.approx(out_single[k][1], abs=1e-6)
+        for f in ("cam_pos", "target"):
+            np.testing.assert_allclose(
+                out_sharded[k][0][f], out_single[k][0][f], atol=1e-4)
+        for f in ("f", "cx", "cy"):
+            assert out_sharded[k][0][f] == pytest.approx(
+                out_single[k][0][f], abs=1e-4)
