@@ -492,3 +492,45 @@ def test_resweep_never_lowers_ensemble_total():
     total1 = sum(d["iou"] for d in out1.values())
     total2 = sum(d["iou"] for d in out2.values())
     assert total2 >= total1 - 0.02, (total1, total2, out1, out2)
+
+
+def test_dual_dedup_equivalence():
+    """The portfolio-dedup soundness claim: when the dual-scored greedy
+    pass 0 reports diverged=False, the ensemble-start chain
+    (first_gain_w=1) must produce IDENTICAL deforms; when it reports
+    diverged=True, the two chains are allowed to differ.  Checked on two
+    scenes: a benign one and the staggered-occlusion scene."""
+    from pbr3d.deform.search import refine_parts
+
+    def build_scene(staggered):
+        size = 48
+        grid = np.zeros((size, size, size), np.uint8)
+        did = config.PART_IDS["dome"]
+        wid = config.PART_IDS["windows"]
+        grid[10:16, 20:32, 12:24] = wid
+        grid[18:30, 8:24, 14:30] = did
+        mask = np.zeros((size, size), np.uint8)
+        if staggered:  # GT offset from footprints: parts compete
+            mask[6:26, 12:28] = did
+            mask[26:36, 14:26] = wid
+        else:  # GT on the identity footprints: no one needs to move
+            mask[8:24, 14:30] = did
+            mask[20:32, 12:24] = wid
+        return grid, mask
+
+    kw = dict(
+        part_names=["dome", "windows"],
+        search_stride=1, chunk=16,
+        scale_range=(0.8, 1.2, 3), shift_range=(-10, 10, 3), refine_steps=3,
+    )
+    cam = _simple_cam(48)
+    for staggered in (False, True):
+        grid, mask = build_scene(staggered)
+        flags = {}
+        out_g = refine_parts(grid, mask, cam, first_gain_w=0.0,
+                             dual_gain_w=1.0,
+                             pass0_done=lambda d: flags.update(d=d), **kw)
+        assert "d" in flags
+        if not flags["d"]:
+            out_e = refine_parts(grid, mask, cam, first_gain_w=1.0, **kw)
+            assert out_g == out_e, (staggered, out_g, out_e)
