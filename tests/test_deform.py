@@ -534,3 +534,35 @@ def test_dual_dedup_equivalence():
         if not flags["d"]:
             out_e = refine_parts(grid, mask, cam, first_gain_w=1.0, **kw)
             assert out_g == out_e, (staggered, out_g, out_e)
+
+
+def test_resweep_window_mode_runs_and_holds_floors():
+    """resweep_window=(span, n) replaces the resweeps' global coarse sweep
+    with local offset grids around each incumbent; the output must still be
+    a valid no-regression state (every searched part at or above its
+    all-identity floor — the refine_parts verify invariant)."""
+    from pbr3d.deform.search import refine_parts
+
+    size = 48
+    grid = np.zeros((size, size, size), np.uint8)
+    did = config.PART_IDS["dome"]
+    wid = config.PART_IDS["windows"]
+    grid[10:16, 20:32, 12:24] = wid
+    grid[18:30, 8:24, 14:30] = did
+    mask = np.zeros((size, size), np.uint8)
+    mask[6:26, 12:28] = did
+    mask[26:36, 14:26] = wid
+    cam = _simple_cam(48)
+    kw = dict(
+        part_names=["dome", "windows"],
+        search_stride=1, chunk=16,
+        scale_range=(0.8, 1.2, 3), shift_range=(-10, 10, 3), refine_steps=3,
+    )
+    out_full = refine_parts(grid, mask, cam, **kw)
+    out_win = refine_parts(grid, mask, cam, resweep_window=(1.5, 5), **kw)
+    assert set(out_win) == set(out_full)
+    # both states hold the verify invariant; the windowed resweep must not
+    # collapse the table vs the full resweep on this small scene
+    tot_full = sum(d["iou"] for d in out_full.values())
+    tot_win = sum(d["iou"] for d in out_win.values())
+    assert tot_win >= tot_full - 0.05, (tot_full, tot_win)
