@@ -380,8 +380,7 @@ def refine_cameras_batched(
         out = {}
         for k in keys:
             p = prep[k]
-            params = vector_to_params(jnp.asarray(coarse_best[k]),
-                                      H=p["H"], W=p["W"])
+            params = vector_to_params(coarse_best[k], H=p["H"], W=p["W"])
             out[k] = (
                 {
                     "cam_pos": np.asarray(params["cam_pos"], np.float64),
@@ -405,21 +404,24 @@ def refine_cameras_batched(
         gt_p, (Hp, Wp) = _pad_plane(p["sel"])
         pop_chunk = max(1, min(population, (1 << 26) // max(1, pp.shape[0])))
         pop_chunk = 1 << (pop_chunk.bit_length() - 1)
+        # np scalar/array args: dtype conversions happen on HOST (an eager
+        # jnp.int32()/jnp.asarray(x, dtype) each compiles a one-off remote
+        # program per process; device_put of a ready np array compiles none)
         out = _search_device(
-            jnp.int32(seed),
-            jnp.asarray(coarse_best[k], jnp.float32),
+            np.int32(seed),
+            jnp.asarray(np.asarray(coarse_best[k], np.float32)),
             jnp.asarray(pp), jnp.asarray(ll), jnp.asarray(vv),
             jnp.asarray(gt_p),
             jnp.asarray(p["part_ids"]),
-            jnp.asarray([p["H"], p["W"]], jnp.int32),
+            jnp.asarray(np.asarray([p["H"], p["W"]], np.int32)),
             Hp, Wp, 0, pop_chunk, cd_rounds, lock_xy_equal, pop_chunk,
-            jnp.float32(jobs[k].get("step_scale", 1.0)),
+            np.float32(jobs[k].get("step_scale", 1.0)),
         )
         polish.append((k, out))
     for k, (best, biou) in polish:
         p = prep[k]
         best = np.asarray(best, np.float64)
-        params = vector_to_params(jnp.asarray(best), H=p["H"], W=p["W"])
+        params = vector_to_params(best, H=p["H"], W=p["W"])
         results[k] = (
             {
                 "cam_pos": np.asarray(params["cam_pos"], np.float64),
@@ -541,19 +543,19 @@ def refine_camera_mask_iou(
     # score stays the reference objective (see splat_partwise_iou_mm).
     mm = (not _allow_coarse) and generations > 0 and Hp * Wp <= _MM_PLANE_MAX
     best, best_iou = _search_device(
-        jnp.int32(seed),
-        jnp.asarray(params_to_vector(init_params), jnp.float32),
+        np.int32(seed),
+        jnp.asarray(params_to_vector(init_params)),
         p, l, v,
         jnp.asarray(gt_p),
         jnp.asarray(config.part_ids(parts_for_alignment)),
-        jnp.asarray([H, W], jnp.int32),
+        jnp.asarray(np.asarray([H, W], np.int32)),
         Hp, Wp,
         generations, population, cd_rounds, lock_xy_equal, pop_chunk,
-        jnp.float32(step_scale), mm,
+        np.float32(step_scale), mm,
     )
     best = np.asarray(best, np.float64)
 
-    params = vector_to_params(jnp.asarray(best), H=H, W=W)
+    params = vector_to_params(best, H=H, W=W)
     out = {
         "cam_pos": np.asarray(params["cam_pos"], np.float64),
         "target": np.asarray(params["target"], np.float64),

@@ -151,19 +151,22 @@ def optimize_camera_with_keypoints(
     img_np[:K] = np.stack([image_keypoints[k] for k in keys])
     mask_np[:K] = 1.0
     vox, img, kp_mask = map(jnp.asarray, (vox_np, img_np, mask_np))
-    x0 = jnp.asarray(
-        np.concatenate(
-            [
-                np.asarray(init_params["cam_pos"], np.float64),
-                np.asarray(init_params["target"], np.float64),
-                [init_params["f"], init_params["cx"], init_params["cy"]],
-            ]
-        ),
-        jnp.float32,
+    # x0 prep stays on HOST (np.clip + f32 cast): the eager jnp versions
+    # compiled two one-off remote programs per process for a 9-vector.
+    x0 = np.concatenate(
+        [
+            np.asarray(init_params["cam_pos"], np.float64),
+            np.asarray(init_params["target"], np.float64),
+            [init_params["f"], init_params["cx"], init_params["cy"]],
+        ]
     )
     lo, hi = default_bounds(H, W)
+    x0_clipped = np.clip(
+        x0.astype(np.float32),
+        np.asarray(lo, np.float32), np.asarray(hi, np.float32),
+    )
     x, fun = _lm_fit(
-        jnp.clip(x0, lo, hi), vox, img, kp_mask,
+        jnp.asarray(x0_clipped), vox, img, kp_mask,
         jnp.asarray(lo), jnp.asarray(hi), loss_type=loss_type,
     )
     x = np.asarray(x, np.float64)

@@ -20,7 +20,12 @@ import numpy as np
 
 # Implementation lives in the ops layer (pbr3d.ops.cameramath) so the
 # projection primitives can use it without a layering cycle.
-from pbr3d.ops.cameramath import camera_rays, look_at_rotation, project_points
+from pbr3d.ops.cameramath import (
+    camera_rays,
+    look_at_rotation,
+    look_at_rotation_np,
+    project_points,
+)
 
 __all__ = [
     "look_at_rotation",
@@ -91,7 +96,7 @@ def reparam_principal_point(
     t = np.asarray(cam["target"], np.float64)
     f = float(cam["f"])
     cx, cy = float(cam["cx"]), float(cam["cy"])
-    R = np.asarray(look_at_rotation(jnp.asarray(c), jnp.asarray(t)), np.float64)
+    R = look_at_rotation_np(c, t)
     xhat, yhat, zhat = R[0], R[1], R[2]
     a = (cx_new - cx) / f
     b = (cy - cy_new) / f
@@ -115,19 +120,25 @@ def project_point(pt: jax.Array, cam: Dict) -> jax.Array:
     return jnp.stack([u[0], v[0]])
 
 
-def params_to_vector(cam: Dict) -> jax.Array:
-    return jnp.concatenate(
+def params_to_vector(cam: Dict) -> np.ndarray:
+    """Camera dict -> 9-vector (float32, HOST array).
+
+    Kept in numpy: every caller either hands it to a jit program (device_put
+    is free of compiles) or re-wraps it with ``jnp.asarray``; building it
+    eagerly in jnp cost 3 one-off remote-compiled programs per process."""
+    return np.concatenate(
         [
-            jnp.asarray(cam["cam_pos"], jnp.float32).ravel(),
-            jnp.asarray(cam["target"], jnp.float32).ravel(),
-            jnp.asarray(
-                [cam["f"], cam["cx"], cam["cy"]], jnp.float32
-            ),
+            np.asarray(cam["cam_pos"], np.float32).ravel(),
+            np.asarray(cam["target"], np.float32).ravel(),
+            np.asarray([cam["f"], cam["cx"], cam["cy"]], np.float32),
         ]
     )
 
 
-def vector_to_params(x: jax.Array, H: int | None = None, W: int | None = None) -> Dict:
+def vector_to_params(x, H: int | None = None, W: int | None = None) -> Dict:
+    # Host util: device inputs are fetched once (a transfer, not a compile);
+    # slicing a device 9-vector eagerly compiled dynamic_slice programs.
+    x = np.asarray(x)
     out = {
         "cam_pos": x[0:3],
         "target": x[3:6],

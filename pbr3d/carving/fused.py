@@ -460,7 +460,7 @@ def guided_carve_all(
     # host CPU here is slow enough that array size matters)
     H_img, W_img = exterior_labels.shape
     w, h, d = W_img, H_img, W_img
-    grid_host = fast_get(grid_p[:w, :h, :d])
+    grid_host = _scene_get_async(grid_p, 0, w, h, d)()
     for part, angle in parts:
         target = PART_IDS[part]
         comp_true, n = _host_scipy_label(grid_host == target, "face")
@@ -621,6 +621,34 @@ def _reorient_device(g):
     return jnp.flip(jnp.transpose(g, (2, 1, 0)), 1)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _scene_crop_flat(grid, i, w, h, d, reorient):
+    """Scene-select + true-extent crop (+ optional reorient) + the flat
+    staging reshape in ONE program.  The eager ``grid_b[i, :w, :h, :d]``
+    spelling compiled squeeze / dynamic_slice / _flat (and _reorient_device)
+    as 3-4 separate one-off remote executables per scene shape per process
+    — pure cold-start cost on the axon backend."""
+    if grid.ndim == 4:
+        g = jax.lax.dynamic_slice(grid, (i, 0, 0, 0), (1, w, h, d))[0]
+    else:
+        g = jax.lax.slice(grid, (0, 0, 0), (w, h, d))
+    if reorient:
+        g = jnp.flip(jnp.transpose(g, (2, 1, 0)), 1)
+    return g.reshape(-1)
+
+
+def _scene_get_async(grid, i, w, h, d, reorient=False):
+    """Async staged download of one scene's true-extent crop; returns a
+    zero-arg resolver (same pipelining contract as fast_get_async)."""
+    flat = _scene_crop_flat(grid, np.int32(i), w, h, d, reorient)
+    try:
+        flat.copy_to_host_async()
+    except Exception:
+        pass  # backend without async copies: resolver just blocks
+    shape = (d, h, w) if reorient else (w, h, d)
+    return lambda: np.asarray(flat).reshape(shape)
+
+
 def carve_monument_fused(
     mask_set,
     preset: config.CarvePreset = config.DEFAULT_CARVE_PRESET,
@@ -676,9 +704,9 @@ def carve_monument_fused(
 
     if preset.recolor_back_minarets:
         return recolor_back_host(
-            fast_get(_reorient_device(grid_p[:w, :h, :d]))
+            _scene_get_async(grid_p, 0, w, h, d, True)()
         )
-    return fast_get(grid_p[:w, :h, :d])  # final download
+    return _scene_get_async(grid_p, 0, w, h, d)()  # final download
 
 
 def _batched_sweep_budget(whd_values, bucket: int, guided_margin: int):
@@ -809,7 +837,7 @@ def carve_monuments_batched(
         resolvers = {}
         for i, m in enumerate(names):
             w, h, d = whd[m]
-            resolvers[i] = fast_get_async(grid_b[i, :w, :h, :d])
+            resolvers[i] = _scene_get_async(grid_b, i, w, h, d)
         for i, m in enumerate(names):
             with prof(f"stage1.guided_collect.get.{m}", sync=False):
                 host = resolvers[i]()
@@ -827,19 +855,15 @@ def carve_monuments_batched(
             grid_b = _extrude_all_batched(
                 grid_b, jnp.asarray(sem_b), jnp.asarray(true_b), jobs
             )
-    grids = {m: grid_b[i] for i, m in enumerate(names)}
-
     out = {}
     with prof("stage1.download_reorient"):
         # same prefetch-then-resolve pipelining as guided_collect: scene
         # i's recolor CC overlaps scenes i+1..'s downloads
         final_res = {}
-        for m in names:
+        for i, m in enumerate(names):
             w, h, d = whd[m]
-            crop = grids[m][:w, :h, :d]
-            final_res[m] = fast_get_async(
-                _reorient_device(crop)
-                if preset.recolor_back_minarets else crop
+            final_res[m] = _scene_get_async(
+                grid_b, i, w, h, d, preset.recolor_back_minarets
             )
         for m in names:
             with prof(f"stage1.final.get.{m}", sync=False):

@@ -461,7 +461,7 @@ def optimize_part_deform(
             pid, s_f, bucket_size(-(-n_shell // s_f)))
         p_sc, v_sc = _table.shell_window(
             pid, s_c, bucket_size(-(-n_shell // s_c)))
-        center = jnp.asarray(_table.center(pid), jnp.float32)
+        center = jnp.asarray(np.asarray(_table.center(pid), np.float32))
         p_f, v_f = _device_full if _device_full is not None else (
             _table.part_window(pid, 1, bucket_size(n_pts)))
     else:
@@ -481,7 +481,7 @@ def optimize_part_deform(
         else:  # degenerate: every voxel interior-labeled (impossible for >0 pts)
             sub_fine = pts[::search_stride]
             sub_coarse = pts[:: 2 * search_stride]
-        center = jnp.asarray(pts.mean(axis=0), jnp.float32)  # FULL-set centroid
+        center = jnp.asarray(np.asarray(pts.mean(axis=0), np.float32))  # FULL-set centroid
         p_sc, v_sc = pad_points_i16(sub_coarse, bucket_size(len(sub_coarse)))
         p_s, v_s = pad_points_i16(sub_fine, bucket_size(len(sub_fine)))
         if _device_full is not None:
@@ -491,8 +491,8 @@ def optimize_part_deform(
     gt = jnp.asarray(gt_p)
     rest_j = jnp.asarray(rest)
     cam_vec = jnp.asarray(params_to_vector(cam))
-    true_hw = jnp.asarray([H, W], jnp.int32)
-    vs = jnp.asarray(voxel_shape, jnp.int32)
+    true_hw = jnp.asarray(np.asarray([H, W], np.int32))
+    vs = jnp.asarray(np.asarray(voxel_shape, np.int32))
 
     if _nb is not None:
         nb_kw = dict(
@@ -763,7 +763,7 @@ def prepare_shared_state(mask_labels, cam, parts, table):
         n = table.count(pid)
         pp, vv = table.part_window(pid, 1, bucket_size(n))
         part_sets[p] = (pp, vv, n)
-        centers[p] = jnp.asarray(table.center(pid), jnp.float32)
+        centers[p] = jnp.asarray(np.asarray(table.center(pid), np.float32))
     zb_identity = all_part_zbuffers(
         table.coords, table.labels, table.valid, params_to_vector(cam),
         parts, np.asarray([H, W], np.int32), Hp, Wp,
@@ -864,8 +864,8 @@ def refine_parts(
     H, W = np.asarray(mask_labels).shape[:2]
     Hp, Wp = _pad_plane_hw(H, W)
     cam_vec = jnp.asarray(params_to_vector(cam))
-    true_hw = jnp.asarray([H, W], jnp.int32)
-    vs = jnp.asarray(np.asarray(grid_labels).shape[:3], jnp.int32)
+    true_hw = jnp.asarray(np.asarray([H, W], np.int32))
+    vs = jnp.asarray(np.asarray(np.asarray(grid_labels).shape[:3], np.int32))
     gt_full = np.asarray(mask_labels)
 
     from pbr3d.utils.profiling import prof
@@ -889,12 +889,12 @@ def refine_parts(
                     n = table.count(pid)
                     pp, vv = table.part_window(pid, 1, bucket_size(n))
                     padded_sets[p] = (pp, vv, n)
-                    centers[p] = jnp.asarray(table.center(pid), jnp.float32)
+                    centers[p] = jnp.asarray(np.asarray(table.center(pid), np.float32))
                 else:
                     pts = cache.points_by_parts([p])[0]
                     pp, vv = pad_points_i16(pts, bucket_size(len(pts)))
                     padded_sets[p] = (jnp.asarray(pp), jnp.asarray(vv), len(pts))
-                    centers[p] = jnp.asarray(pts.mean(axis=0), jnp.float32)
+                    centers[p] = jnp.asarray(np.asarray(pts.mean(axis=0), np.float32))
 
     if part_sets_out is not None:
         # export the (device-resident) padded per-part sets for the caller's

@@ -216,9 +216,9 @@ def build_deformed_grid(
 
 @functools.partial(jax.jit, static_argnames=("D", "H", "W"))
 def _build_fused(
-    coords: jax.Array,  # (N, 3) int16 — ALL parts concatenated in scatter order
+    coords,  # per-part tuple of (n_i, 3) int16 — scatter order = part order
     labels: jax.Array,  # (N,) uint8
-    valid: jax.Array,  # (N,)
+    valid,  # per-part tuple of (n_i,)
     slot: jax.Array,  # (N,) int32 — index into the deform/center tables
     deform_table: jax.Array,  # (S, 4) f32
     center_table: jax.Array,  # (S, 3) f32 — per-part FULL-set centroids
@@ -235,6 +235,13 @@ def _build_fused(
     monotone in the concatenated part order, so the winner matches the
     sequential semantics exactly.
     """
+    # device concat INSIDE the program: the part sets stay device-resident
+    # (no 70 MB round-trip) and no separate eager-concatenate executables
+    # have to compile (cold-start) or dispatch (2 x ~28 ms per rebuild)
+    if isinstance(coords, (tuple, list)):
+        coords = jnp.concatenate(coords)
+    if isinstance(valid, (tuple, list)):
+        valid = jnp.concatenate(valid)
     pts = coords.astype(jnp.float32)
     d = deform_table[slot]  # (N, 4)
     ctr = center_table[slot]  # (N, 3)
@@ -300,16 +307,20 @@ def build_deformed_grid_fused(
         n = pp.shape[0]
         coords.append(jnp.asarray(pp))
         valid.append(jnp.asarray(vv))
-        labels.append(jnp.full((n,), config.PART_IDS[part], jnp.uint8))
-        slot.append(jnp.full((n,), len(table_d), jnp.int32))
+        # labels/slot are built and concatenated on HOST: they're tiny
+        # (uint8/int32 per point, one upload), while the eager jnp.full +
+        # jnp.concatenate versions compiled 3 one-off remote programs per
+        # part-count shape family per process
+        labels.append(np.full((n,), config.PART_IDS[part], np.uint8))
+        slot.append(np.full((n,), len(table_d), np.int32))
         table_d.append(np.asarray(deforms[part], np.float32))
         table_c.append(np.asarray(centers[part], np.float32))
     D, H, W = (int(v) for v in voxel_shape)
     return _build_fused(
-        jnp.concatenate(coords),
-        jnp.concatenate(labels),
-        jnp.concatenate(valid),
-        jnp.concatenate(slot),
+        tuple(coords),
+        jnp.asarray(np.concatenate(labels)),
+        tuple(valid),
+        jnp.asarray(np.concatenate(slot)),
         jnp.asarray(np.stack(table_d)),
         jnp.asarray(np.stack(table_c)),
         jnp.asarray(image_hw, jnp.int32),

@@ -10,6 +10,29 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def look_at_rotation_np(eye, target) -> np.ndarray:
+    """Numpy mirror of :func:`look_at_rotation` for HOST callers.
+
+    Identical branch semantics (same degenerate-up fallback).  Host paths
+    (e.g. camera reparameterization in the stage-2 retry starts) must not
+    call the jnp version eagerly: on the remote backend every one of its
+    ~10 tiny ops compiles as a separate one-off executable per process,
+    which is pure cold-start cost."""
+    eye = np.asarray(eye, np.float64)
+    target = np.asarray(target, np.float64)
+    up_default = np.array([0.0, 1.0, 0.0])
+    up_fallback = np.array([0.0, 0.0, 1.0])
+    z = target - eye
+    z = z / np.linalg.norm(z)
+    up = up_fallback if np.isclose(abs(float(np.dot(z, up_default))), 1.0) \
+        else up_default
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z], axis=0)
 
 
 def look_at_rotation(eye: jax.Array, target: jax.Array) -> jax.Array:

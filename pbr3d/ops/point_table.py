@@ -163,14 +163,18 @@ class PointTable:
         of the part in raster order (device arrays)."""
         return _extract_part(
             self.coords, self.labels, self.valid,
-            jnp.uint8(pid), jnp.int32(stride), cap,
+            np.uint8(pid), np.int32(stride), cap,
         )
 
     def shell_window(self, pid: int, stride: int, cap: int):
-        """Strided window of the part's own 6-connected shell."""
+        """Strided window of the part's own 6-connected shell.
+
+        ``surf`` is already conjoined with validity inside
+        :func:`_build_table`; re-and-ing it here eagerly compiled a one-off
+        bitwise_and program per bucket shape per process (cold-start cost)."""
         return _extract_part(
-            self.coords, self.labels, self.valid & self.surf,
-            jnp.uint8(pid), jnp.int32(stride), cap,
+            self.coords, self.labels, self.surf,
+            np.uint8(pid), np.int32(stride), cap,
         )
 
 
