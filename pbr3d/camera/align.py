@@ -92,6 +92,7 @@ def _search_impl(
     lock_xy_equal: bool, pop_chunk: int,
     step_scale: jax.Array | float = 1.0,  # scales all proposal steps
     mm: bool = False,  # MXU one-hot objective (see splat_partwise_iou_mm)
+    cd_mags: Tuple[float, ...] = (1.0,),  # multi-scale CD probe magnitudes
 ) -> Tuple[jax.Array, jax.Array]:
     """Full random-search + coordinate-descent refinement in ONE program.
 
@@ -142,13 +143,21 @@ def _search_impl(
              jnp.int32(0), jnp.int32(0))
     (best, biou, *_), _ = jax.lax.scan(gen_step, carry, keys)
 
-    # coordinate descent: all +-delta probes of the 9 DoF in one batch
+    # coordinate descent: all +-delta probes of the 9 DoF in one batch.
+    # ``cd_mags`` widens each round to per-DoF probes at several magnitudes
+    # of the annealed delta in the SAME batch (e.g. (1, .25, 4) gives the
+    # quarter-step resolution and a Powell-style extension without extra
+    # dispatches); the default (1.0,) is exactly the classic schedule.
     offs = jnp.concatenate([jnp.eye(9, dtype=jnp.float32),
                             -jnp.eye(9, dtype=jnp.float32)])
+    mags = jnp.asarray(np.asarray(cd_mags, np.float32))
 
     def cd_step(carry, _):
         best, biou, delta = carry
-        probes = lock(best[None] + offs * delta)
+        probes = lock(
+            (best[None, None]
+             + offs[None] * (delta * mags)[:, None, None]).reshape(-1, 9)
+        )
         ious = eval_batch(probes)
         i = jnp.argmax(ious)
         imp = ious[i] > biou
@@ -168,7 +177,7 @@ _search_device = functools.partial(
     jax.jit,
     static_argnames=(
         "H", "W", "generations", "population", "cd_rounds", "lock_xy_equal",
-        "pop_chunk", "mm",
+        "pop_chunk", "mm", "cd_mags",
     ),
 )(_search_impl)
 
@@ -177,7 +186,7 @@ _search_device = functools.partial(
     jax.jit,
     static_argnames=(
         "H", "W", "generations", "population", "cd_rounds", "lock_xy_equal",
-        "pop_chunk", "mm",
+        "pop_chunk", "mm", "cd_mags",
     ),
 )
 def _search_device_multi(
@@ -194,6 +203,7 @@ def _search_device_multi(
     generations: int, population: int, cd_rounds: int,
     lock_xy_equal: bool, pop_chunk: int,
     mm: bool = False,
+    cd_mags: Tuple[float, ...] = (1.0,),
 ):
     """All V views' searches in ONE program (SURVEY §7 M6 for stage 2):
     views padded to a common point bucket and plane bucket, vmapped over the
@@ -203,7 +213,7 @@ def _search_device_multi(
         lambda s, x, p, l, v, g, t, sc: _search_impl(
             s, x, p, l, v, g, part_ids, t, H, W,
             generations, population, cd_rounds, lock_xy_equal, pop_chunk, sc,
-            mm,
+            mm, cd_mags,
         )
     )(seeds, init_vecs, pts, labels, valid, gt_labels, true_hw, step_scales)
 
@@ -488,6 +498,7 @@ def refine_camera_mask_iou(
     seed: int = 0,
     lock_xy_equal: bool = False,
     step_scale: float = 1.0,
+    cd_mags: Tuple[float, ...] = (1.0,),
     _allow_coarse: bool = True,
 ) -> Tuple[Dict, float]:
     """Automated mask-IoU camera refinement.  Returns (params, best IoU).
@@ -507,7 +518,7 @@ def refine_camera_mask_iou(
             grid_labels, mask_labels[::2, ::2], parts_for_alignment, half_init,
             generations=generations, population=population, cd_rounds=cd_rounds,
             seed=seed, lock_xy_equal=lock_xy_equal, step_scale=step_scale,
-            _allow_coarse=False,
+            cd_mags=cd_mags, _allow_coarse=False,
         )
         native_init = {
             "cam_pos": half["cam_pos"],
@@ -520,7 +531,7 @@ def refine_camera_mask_iou(
             grid_labels, mask_labels, parts_for_alignment, native_init,
             generations=0, population=population, cd_rounds=cd_rounds,
             seed=seed, lock_xy_equal=lock_xy_equal, step_scale=step_scale,
-            _allow_coarse=False,
+            cd_mags=cd_mags, _allow_coarse=False,
         )
 
     # Surface shell, not the solid: identical silhouettes (rays enter through
@@ -551,7 +562,7 @@ def refine_camera_mask_iou(
         jnp.asarray(np.asarray([H, W], np.int32)),
         Hp, Wp,
         generations, population, cd_rounds, lock_xy_equal, pop_chunk,
-        np.float32(step_scale), mm,
+        np.float32(step_scale), mm, tuple(cd_mags),
     )
     best = np.asarray(best, np.float64)
 

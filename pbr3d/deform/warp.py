@@ -323,6 +323,6 @@ def build_deformed_grid_fused(
         jnp.asarray(np.concatenate(slot)),
         jnp.asarray(np.stack(table_d)),
         jnp.asarray(np.stack(table_c)),
-        jnp.asarray(image_hw, jnp.int32),
+        jnp.asarray(np.asarray(image_hw, np.int32)),
         D, H, W,
     )

@@ -295,3 +295,34 @@ def test_yaw_and_dolly_helpers():
     assert np.isclose(
         np.linalg.norm(y90["cam_pos"] - c), np.linalg.norm(cam["cam_pos"] - c))
     assert np.isclose(y90["cam_pos"][1], cam["cam_pos"][1])
+
+
+def test_cd_mags_default_identical_and_multiscale_no_worse(
+    akbar_grid, akbar_front_mask
+):
+    """cd_mags=(1.0,) must reproduce the classic CD schedule bit-exactly,
+    and a multi-scale probe batch (quarter steps + a 4x Powell-style
+    extension) must never end below it on the search's own objective."""
+    parts = ["front_minarets", "back_minarets"]
+    init = auto_compute_initial_params_matching_bbox(
+        akbar_grid, akbar_front_mask, parts
+    )
+    base, iou_base = refine_camera_mask_iou(
+        akbar_grid, akbar_front_mask, parts, init,
+        generations=4, population=16, cd_rounds=4, seed=0,
+    )
+    same, iou_same = refine_camera_mask_iou(
+        akbar_grid, akbar_front_mask, parts, init,
+        generations=4, population=16, cd_rounds=4, seed=0, cd_mags=(1.0,),
+    )
+    assert iou_same == iou_base
+    for k in ("cam_pos", "target", "f", "cx", "cy"):
+        assert np.array_equal(np.asarray(same[k]), np.asarray(base[k])), k
+    multi, iou_multi = refine_camera_mask_iou(
+        akbar_grid, akbar_front_mask, parts, init,
+        generations=4, population=16, cd_rounds=4, seed=0,
+        cd_mags=(1.0, 0.25, 4.0),
+    )
+    # same generations prefix; the widened CD accepts only on improvement,
+    # so the internal objective can only match or beat the classic one
+    assert iou_multi >= iou_base - 1e-6
