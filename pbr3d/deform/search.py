@@ -791,6 +791,8 @@ def refine_parts(
     centers_in: Optional[Dict] = None,
     dual_gain_w: Optional[float] = None,
     pass0_done=None,
+    pass0_snapshot_out: Optional[Dict] = None,
+    pass0_prefix: Optional[Dict] = None,
     resweep_window: Optional[Tuple[float, int]] = None,
     **kw,
 ) -> Dict[str, Dict]:
@@ -832,6 +834,17 @@ def refine_parts(
     pass 0 with whether the two objectives EVER disagreed.  When they never
     did, a chain run at ``dual_gain_w`` is provably identical to this one,
     so the portfolio caller skips it (see run_stage3).
+
+    ``pass0_snapshot_out`` — a dict the pass-0 loop fills with the chain
+    state at the FIRST divergence point (``{"idx", "state", "zbs",
+    "env"}``): the parts before ``idx`` were decided identically under both
+    gain weights, so a sibling chain may adopt them verbatim.
+
+    ``pass0_prefix`` — a snapshot from a dual-scored sibling chain: pass-0
+    skips re-searching the parts before ``snapshot["idx"]`` and adopts the
+    sibling's accepted deforms/z-buffers for them (provably identical —
+    the dual scoring proved every decision up to that part agreed under
+    both gain weights, and the search machine is deterministic).
 
     ``resweep_window=(span, n)`` — run the conditioning resweeps with local
     n×n offset grids spanning ±span coarse steps around each incumbent
@@ -1046,11 +1059,36 @@ def refine_parts(
 
     dual_out = {"diverged": False} if dual_gain_w is not None else None
     env_at_search: Dict[str, bytes] = {}
-    for p in searched:
+    prefix_idx = -1
+    if pass0_prefix is not None and pass0_prefix.get("idx", 0) > 0:
+        # Adopt the sibling chain's pass-0 prefix (parts decided before its
+        # first gain-weight divergence are provably identical under either
+        # weight — skip re-searching them).  The snapshot was taken BEFORE
+        # the diverging part's own update, so later parts in it still sit
+        # at identity and adopting the whole dicts is safe.
+        prefix_idx = int(pass0_prefix["idx"])
+        for q, v in pass0_prefix["state"].items():
+            state[q] = np.asarray(v, np.float32).copy()
+        zbs.update(pass0_prefix["zbs"])
+        env_at_search.update(pass0_prefix["env"])
+    for i, p in enumerate(searched):
+        if i < prefix_idx:
+            continue
         env_at_search[p] = env_sig(p)
         with prof(f"refine_parts.search.{p}"):
             deform, _, zb_new = search_part(p, gain_w=first_gain_w,
                                             dual_out=dual_out)
+            if (pass0_snapshot_out is not None and dual_out is not None
+                    and dual_out["diverged"]
+                    and "idx" not in pass0_snapshot_out):
+                # first divergence: freeze the pre-update chain state so the
+                # sibling chain can adopt parts 0..i-1 verbatim
+                pass0_snapshot_out.update(
+                    idx=i,
+                    state={q: state[q].copy() for q in parts},
+                    zbs=dict(zbs),
+                    env=dict(env_at_search),
+                )
             if not np.array_equal(deform, state[p]):
                 state[p] = deform
                 # the accept check already computed the full-set z-buffer

@@ -292,7 +292,8 @@ def run_stage3(
         )
     part_points = {p: part_sets[p][:2] for p in all_parts}
 
-    def _run_variant(gw, dual_gain_w=None, pass0_done=None):
+    def _run_variant(gw, dual_gain_w=None, pass0_done=None,
+                     pass0_snapshot_out=None, pass0_prefix=None):
         with prof(f"stage3.{monument}.refine_parts[g{gw:g}]"):
             return refine_parts(
                 grid_labels, mask, cam_final_front, part_names,
@@ -301,6 +302,8 @@ def run_stage3(
                 centers_in=centers_j,
                 first_gain_w=gw,
                 dual_gain_w=dual_gain_w, pass0_done=pass0_done,
+                pass0_snapshot_out=pass0_snapshot_out,
+                pass0_prefix=pass0_prefix,
                 **search_kw,
             )
 
@@ -312,20 +315,25 @@ def run_stage3(
         # second chain is PROVABLY identical (the search machine is
         # deterministic) and is skipped outright.  When they do diverge,
         # the second chain launches immediately — overlapping the first
-        # chain's conditioning resweeps, like the old always-both threads.
+        # chain's conditioning resweeps, like the old always-both threads —
+        # and ADOPTS the pre-divergence prefix of the first chain's pass 0
+        # (provably identical parts are not re-searched).
         import sys
         from concurrent.futures import ThreadPoolExecutor
 
         ex = ThreadPoolExecutor(max_workers=max(1, len(schedule) - 1))
         futs = []
+        snap: Dict = {}
 
         def _pass0_done(diverged):
             if diverged:
                 for g2 in schedule[1:]:
-                    futs.append(ex.submit(_run_variant, g2))
+                    futs.append(ex.submit(
+                        _run_variant, g2,
+                        pass0_prefix=snap if snap.get("idx") else None))
 
         v0 = _run_variant(schedule[0], dual_gain_w=schedule[1],
-                          pass0_done=_pass0_done)
+                          pass0_done=_pass0_done, pass0_snapshot_out=snap)
         variants = [v0] + [f.result() for f in futs]
         ex.shutdown(wait=True)
         if len(variants) == 1:

@@ -566,3 +566,47 @@ def test_resweep_window_mode_runs_and_holds_floors():
     tot_full = sum(d["iou"] for d in out_full.values())
     tot_win = sum(d["iou"] for d in out_win.values())
     assert tot_win >= tot_full - 0.05, (tot_full, tot_win)
+
+
+def test_pass0_prefix_reuse_identical():
+    """Chain-B prefix adoption soundness: when the dual-scored greedy pass 0
+    diverges at part k, an ensemble chain run with the snapshot prefix
+    (skipping the re-search of parts 0..k-1) must produce EXACTLY the state
+    of an ensemble chain run from scratch — the dual scoring proved every
+    decision before k agreed under both gain weights."""
+    from pbr3d.deform.search import refine_parts
+
+    size = 48
+    grid = np.zeros((size, size, size), np.uint8)
+    did = config.PART_IDS["dome"]
+    wid = config.PART_IDS["windows"]
+    pid = config.PART_IDS["plinth"]
+    # three stacked parts with GT offset from the footprints so the greedy
+    # and ensemble objectives disagree somewhere past the first part
+    grid[6:12, 34:44, 16:28] = pid
+    grid[10:16, 20:32, 12:24] = wid
+    grid[18:30, 8:24, 14:30] = did
+    mask = np.zeros((size, size), np.uint8)
+    mask[4:24, 12:28] = did
+    mask[24:34, 14:26] = wid
+    mask[36:46, 14:30] = pid
+    cam = _simple_cam(size)
+    kw = dict(
+        part_names=["dome", "windows", "plinth"],
+        search_stride=1, chunk=16,
+        scale_range=(0.8, 1.2, 3), shift_range=(-10, 10, 3), refine_steps=3,
+    )
+    flags, snap = {}, {}
+    refine_parts(grid, mask, cam, first_gain_w=0.0, dual_gain_w=1.0,
+                 pass0_done=lambda d: flags.update(d=d),
+                 pass0_snapshot_out=snap, **kw)
+    assert "d" in flags
+    out_full = refine_parts(grid, mask, cam, first_gain_w=1.0, **kw)
+    if flags["d"] and snap.get("idx"):
+        out_pre = refine_parts(grid, mask, cam, first_gain_w=1.0,
+                               pass0_prefix=snap, **kw)
+        assert out_pre == out_full, (snap["idx"], out_pre, out_full)
+    else:
+        # scene did not produce a mid-chain divergence: the prefix path is
+        # then never taken in production either; record why for debugging
+        assert flags["d"] is not None
