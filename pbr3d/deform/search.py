@@ -376,6 +376,7 @@ def optimize_part_deform(
     _incumbent: Optional[np.ndarray] = None,
     _zb_incumbent: Optional[np.ndarray] = None,
     _window: Optional[Tuple[float, int]] = None,
+    _seed_cands: Optional[np.ndarray] = None,
     _return_zb: bool = False,
     _table=None,
 ) -> Tuple[np.ndarray, float]:
@@ -542,6 +543,16 @@ def optimize_part_deform(
     scale_step = (s1 - s0) / max(ns - 1, 1)
     shift_step = (d1 - d0) / max(nd - 1, 1)
 
+    seeds = None
+    if _seed_cands is not None:
+        seeds = np.asarray(_seed_cands, np.float32).reshape(-1, 4)
+        if not len(seeds):
+            seeds = None
+
+    def with_seeds(c):
+        return c if seeds is None else np.concatenate([c, seeds])
+
+    seed_anchor = None
     if _window is not None:
         # Resweep mode: local separable offset grids around the incumbent.
         span, nw = _window
@@ -552,13 +563,13 @@ def optimize_part_deform(
         ca = np.array(
             [base0 + np.array([a, b, 0.0, 0.0], np.float32)
              for a, b in itertools.product(rs_, rd_)], np.float32)
-        ca = np.concatenate([IDENTITY_DEFORM[None], base0[None], ca])
+        ca = with_seeds(np.concatenate([IDENTITY_DEFORM[None], base0[None], ca]))
         with prof(f"opd.{part}.windowA", sync=False):
             best = pick(ca, ev(ca, p_sc, v_sc, True))
         cb = np.array(
             [best + np.array([0.0, 0.0, a, b], np.float32)
              for a, b in itertools.product(rs_, rd_)], np.float32)
-        cb = np.concatenate([IDENTITY_DEFORM[None], best[None], cb])
+        cb = with_seeds(np.concatenate([IDENTITY_DEFORM[None], best[None], cb]))
         with prof(f"opd.{part}.windowB", sync=False):
             best = pick(cb, ev(cb, p_sc, v_sc, True))
     elif mode == "full":  # pragma: no cover - diagnostic mode
@@ -568,7 +579,7 @@ def optimize_part_deform(
             np.float32,
         )
         # Always include identity so we can never regress below it.
-        coarse = np.concatenate([IDENTITY_DEFORM[None], coarse])
+        coarse = with_seeds(np.concatenate([IDENTITY_DEFORM[None], coarse]))
         best = pick(coarse, ev(coarse, p_sc, v_sc, True))
     else:
         # stage A: (scale_y, shift_y) with xz identity
@@ -576,7 +587,7 @@ def optimize_part_deform(
             [(sy, dy, 1.0, 0.0) for sy, dy in itertools.product(scales, shifts)],
             np.float32,
         )
-        ca = np.concatenate([IDENTITY_DEFORM[None], ca])
+        ca = with_seeds(np.concatenate([IDENTITY_DEFORM[None], ca]))
         with prof(f"opd.{part}.coarseA", sync=False):
             best = pick(ca, ev(ca, p_sc, v_sc, True))
         # stage B: (scale_xz, shift_xz) given the best y
@@ -585,9 +596,20 @@ def optimize_part_deform(
              for sxz, dxz in itertools.product(scales, shifts)],
             np.float32,
         )
-        cb = np.concatenate([best[None], cb])
+        cb = with_seeds(np.concatenate([best[None], cb]))
         with prof(f"opd.{part}.coarseB", sync=False):
-            best = pick(cb, ev(cb, p_sc, v_sc, True))
+            vb = ev(cb, p_sc, v_sc, True)
+        best = pick(cb, vb)
+        if seeds is not None:
+            # best SEED by the same objective (dual-checked pick): anchors
+            # an extra local grid in the joint pass below.  A good seed can
+            # sit a full coarse step from its basin floor (e.g. the rigid-
+            # consistency seed when the part needs EXTRA growth on top of
+            # its neighbor's) — too far for the +-step/2 refine rounds, so
+            # without the anchored grid it loses every pick and dies.
+            bs = pick(cb[-len(seeds):], vb[-len(seeds):])
+            if not np.array_equal(bs, best):
+                seed_anchor = bs
 
     if _window is None and mode != "full" and joint_steps:
         # Joint 4-D pass around the separable winner: the two separable
@@ -603,12 +625,16 @@ def optimize_part_deform(
         # at ~24 ns/point-candidate the 226-candidate joint pass was
         # the single largest coarse-stage cost.
         js = np.linspace(-1.5 * scale_step, 1.5 * scale_step, joint_steps)
-        joint = np.array(
-            [best + np.array([a, 0.0, c, 0.0], np.float32)
-             for a, c in itertools.product(js, js)],
+        joffs = np.array(
+            [(a, 0.0, c, 0.0) for a, c in itertools.product(js, js)],
             np.float32,
         )
-        joint = np.concatenate([best[None], joint])
+        anchors = [best] + ([seed_anchor] if seed_anchor is not None else [])
+        joint = np.concatenate(
+            [np.concatenate([a[None].astype(np.float32),
+                             a[None].astype(np.float32) + joffs])
+             for a in anchors])
+        joint = with_seeds(joint)
         with prof(f"opd.{part}.joint", sync=False):
             best = pick(joint, ev(joint, p_sc, v_sc, True))
 
@@ -625,7 +651,7 @@ def optimize_part_deform(
              for a, c, b, d in itertools.product(rs, rs, rd, rd)],
             np.float32,
         )
-        fine = np.concatenate([best[None], fine])
+        fine = with_seeds(np.concatenate([best[None], fine]))
         with prof(f"opd.{part}.refine_approx{int(approx)}", sync=False):
             if not approx and len(fine) > exact_topk > 0:
                 # The 7-jitter exact eval costs 7x the approx warp and was
@@ -750,6 +776,25 @@ def _deform_vec(d: Dict) -> np.ndarray:
     )
 
 
+def rigid_consistency_seed(
+    deform_q: np.ndarray, center_p: np.ndarray, center_q: np.ndarray,
+    py: float,
+) -> np.ndarray:
+    """Part q's deform re-pivoted to part p's centroid.
+
+    The 4-DoF warp scales about each part's own centroid
+    (deformation_estimation.py:70-98), so "move p exactly as q's warp moves
+    p's centroid" means copying the scales and compensating shift_y for the
+    pivot offset: q maps p's centroid to
+    ``cp + (cp_y - cq_y)(sy_q - 1) - dy_q*py`` while p's own deform maps it
+    to ``cp - dy_p*py``, hence ``dy_p = dy_q - (cp_y - cq_y)(sy_q - 1)/py``.
+    xz shifts copy unchanged (the monuments' parts share a near-common
+    symmetry center, so the sign-symmetric xz warps coincide)."""
+    dq = np.asarray(deform_q, np.float32)
+    dy = dq[1] - (float(center_p[1]) - float(center_q[1])) * (dq[0] - 1.0) / py
+    return np.array([dq[0], dy, dq[2], dq[3]], np.float32)
+
+
 def prepare_shared_state(mask_labels, cam, parts, table):
     """(part_sets, centers, zb_identity) for :func:`refine_parts` — computed
     ONCE and shared read-only by the portfolio variants (each variant would
@@ -794,6 +839,8 @@ def refine_parts(
     pass0_snapshot_out: Optional[Dict] = None,
     pass0_prefix: Optional[Dict] = None,
     resweep_window: Optional[Tuple[float, int]] = None,
+    seed_cands: Optional[Dict[str, np.ndarray]] = None,
+    follow_seeds: bool = True,
     **kw,
 ) -> Dict[str, Dict]:
     """Optimize every (present) part; returns {part: {deform, iou}} like the
@@ -1031,6 +1078,45 @@ def refine_parts(
     def env_sig(p: str) -> bytes:
         return b"".join(state[q].tobytes() for q in parts if q != p)
 
+    centers_np = {p: np.asarray(centers[p], np.float32) for p in parts}
+    py_ratio = float(np.asarray(grid_labels).shape[1]) / float(H)
+
+    def _seeds_for(p: str):
+        """Candidate seeds injected into every stage of p's search.
+
+        ``follow_seeds`` adds RIGID-CONSISTENCY seeds: for every other part
+        q whose accepted deform has moved, q's deform re-pivoted to p's
+        centroid — scales copied, shift_y compensated for the pivot offset
+        (y'_q(cp) = cp + (cp-cq)(sy_q-1) - dy_q*py  must equal
+        cp - dy_p*py, so dy_p = dy_q - (cp_y-cq_y)(sy_q-1)/py; xz shifts
+        copy because the monuments' parts share a near-common symmetry
+        center).  Parts of one building move together under a perspective
+        camera (the stage-2 fit trades distance against focal length, so
+        the whole model is uniformly mis-scaled): measured on Taj at golden
+        res, the human's chhatris deform (1.27, -17, 1.09, 5) is exactly
+        full_building's growth re-pivoted, and the separable coarse sweeps
+        cannot reach its basin (nb4 cell 0.74 without the seed, 0.81 with).
+        """
+        rows = []
+        if seed_cands and p in seed_cands:
+            rows.extend(np.asarray(seed_cands[p], np.float32).reshape(-1, 4))
+        if follow_seeds:
+            cp = centers_np[p]
+            for q in parts:
+                if q == p or np.array_equal(state[q], IDENTITY_DEFORM):
+                    continue
+                dq = np.asarray(state[q], np.float32)
+                rows.append(rigid_consistency_seed(
+                    dq, cp, centers_np[q], py_ratio))
+                rows.append(dq.copy())
+        if not rows:
+            return None
+        uniq = []
+        for r in rows:
+            if not any(np.array_equal(r, u) for u in uniq):
+                uniq.append(r)
+        return np.stack(uniq)
+
     def search_part(p: str, gain_w: float = 0.0, dual_out=None,
                     incumbent=None, window=None):
         if table is not None:
@@ -1052,6 +1138,7 @@ def refine_parts(
             _incumbent=incumbent,
             _zb_incumbent=zbs[p] if incumbent is not None else None,
             _window=window,
+            _seed_cands=_seeds_for(p),
             _return_zb=True,
             **src_kw,
             **kw,

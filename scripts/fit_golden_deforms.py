@@ -16,7 +16,6 @@ something else (VERDICT r4 #5, TM chhatris).
 
 Usage: python scripts/fit_golden_deforms.py [Taj] [out_json]
 """
-import itertools
 import json
 import os
 import sys
@@ -67,7 +66,27 @@ def warp_keys(pts, center, deform, shape, image_hw, jitter):
     return np.unique((w[:, 2] * H + w[:, 1]) * W + w[:, 0])
 
 
-def fit_part(pts, occ_flat, n_gold, shape, image_hw):
+def moment_init(pts, gold_pts, center, shape, image_hw):
+    """Closed-form estimate: the warp is affine per-axis about the pivot
+    (y' − cy = sy·(y − cy) − dy·py; |x' − cx| = sxz·|x − cx| + dxz·px), so
+    first/second moments of the two point sets give every parameter."""
+    D, H, W = shape
+    H_img, W_img = image_hw
+    px, py, pz = W / W_img, H / H_img, D / W_img
+    c = pts - center
+    g = gold_pts - center
+    sy = float(g[:, 1].std() / max(c[:, 1].std(), 1e-6))
+    dy = float(-g[:, 1].mean() / py)  # mean(y−cy)=0 by construction
+    est_s, est_d = [], []
+    for ax, pr in ((0, px), (2, pz)):
+        u, v = np.abs(c[:, ax]), np.abs(g[:, ax])
+        s = float(v.std() / max(u.std(), 1e-6))
+        est_s.append(s)
+        est_d.append(float((v.mean() - s * u.mean()) / pr))
+    return np.array([sy, dy, float(np.mean(est_s)), float(np.mean(est_d))])
+
+
+def fit_part(pts, gold_pts, occ_flat, n_gold, shape, image_hw):
     center = pts.mean(axis=0)
 
     def iou(deform, jitter=False):
@@ -76,20 +95,15 @@ def fit_part(pts, occ_flat, n_gold, shape, image_hw):
         union = len(keys) + n_gold - inter
         return inter / union if union else 0.0
 
-    # coarse separable sweep on the reference slider space
-    scales = np.linspace(0.5, 2.0, 16)
-    shifts = np.linspace(-100, 100, 21)
-    best = np.array([1.0, 0.0, 1.0, 0.0], np.float64)
-    cands = [np.array([sy, dy, best[2], best[3]]) for sy, dy in
-             itertools.product(scales, shifts)]
-    best = max(cands, key=iou)
-    cands = [np.array([best[0], best[1], sxz, dxz]) for sxz, dxz in
-             itertools.product(scales, shifts)]
-    best = max(cands, key=iou)
-    # polish (unjittered objective is smooth enough for NM at this scale)
-    res = minimize(lambda d: -iou(d), best, method="Nelder-Mead",
-                   options={"xatol": 1e-3, "fatol": 1e-5, "maxiter": 400})
-    best = res.x
+    starts = [moment_init(pts, gold_pts, center, shape, image_hw),
+              np.array([1.0, 0.0, 1.0, 0.0])]
+    best, best_v = None, -1.0
+    for s0 in starts:
+        res = minimize(lambda d: -iou(d), s0, method="Nelder-Mead",
+                       options={"xatol": 5e-4, "fatol": 1e-6,
+                                "maxiter": 600})
+        if -res.fun > best_v:
+            best, best_v = res.x, -res.fun
     # snap to plausible slider steps (scale 0.01, shift 0.5) if not worse
     snap = np.array([round(best[0], 2), round(best[1] * 2) / 2,
                      round(best[2], 2), round(best[3] * 2) / 2])
@@ -131,7 +145,9 @@ def main():
         n_gold = int(occ.sum())
         if n_gold == 0:
             continue
-        d, fit_iou = fit_part(pts, occ.reshape(-1), n_gold, shape, image_hw)
+        gold_pts = part_points(gold, pid)
+        d, fit_iou = fit_part(pts, gold_pts, occ.reshape(-1), n_gold, shape,
+                              image_hw)
         report[p] = {
             "deform": {"scale_y": float(d[0]), "shift_y": float(d[1]),
                        "scale_xz": float(d[2]), "shift_xz": float(d[3])},

@@ -610,3 +610,45 @@ def test_pass0_prefix_reuse_identical():
         # scene did not produce a mid-chain divergence: the prefix path is
         # then never taken in production either; record why for debugging
         assert flags["d"] is not None
+
+
+def test_rigid_consistency_seed_matches_warp_algebra():
+    """The follow-the-leader seed must move part p's centroid EXACTLY as
+    part q's warp would move that same point (the derivation in
+    rigid_consistency_seed's docstring), for any pivot offset and params."""
+    from pbr3d.deform.search import rigid_consistency_seed
+
+    rng = np.random.default_rng(7)
+    H_img, W_img = 97, 83
+    voxel_shape = (64, 80, 64)  # (D, H, W)
+    py = voxel_shape[1] / H_img
+
+    def warp_y(y, pivot_y, sy, dy):
+        return (y - pivot_y) * sy + pivot_y - dy * py
+
+    for _ in range(20):
+        cq = rng.uniform(5, 60, 3).astype(np.float32)
+        cp = rng.uniform(5, 60, 3).astype(np.float32)
+        dq = np.array([rng.uniform(0.5, 2.0), rng.uniform(-40, 40),
+                       rng.uniform(0.5, 2.0), rng.uniform(-20, 20)],
+                      np.float32)
+        seed = rigid_consistency_seed(dq, cp, cq, py)
+        # q's warp applied to p's centroid y == p's own warp (pivot cp) at
+        # its centroid under the seed params
+        y_by_q = warp_y(cp[1], cq[1], dq[0], dq[1])
+        y_by_seed = warp_y(cp[1], cp[1], seed[0], seed[1])
+        np.testing.assert_allclose(y_by_seed, y_by_q, rtol=0, atol=1e-3)
+        # scales and xz shift copy
+        assert seed[0] == dq[0] and seed[2] == dq[2] and seed[3] == dq[3]
+
+    # the measured Taj-at-golden-res case from the fitted golden deforms:
+    # full_building (1.13, -3, 1.12, 0), chhatris centroid ~86 voxels above
+    # the building centroid (y-up), py≈0.66 -> the seed's shift_y lands in
+    # the human's chhatris basin (golden fit: -17.1)
+    seed = rigid_consistency_seed(
+        np.array([1.13, -3.0, 1.12, 0.0], np.float32),
+        np.array([256.0, 240.0, 256.0], np.float32),
+        np.array([256.0, 168.0, 256.0], np.float32),
+        338 / 512,
+    )
+    assert -25.0 < seed[1] < -12.0, seed
