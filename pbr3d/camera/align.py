@@ -242,6 +242,7 @@ def refine_cameras_batched(
     point_cap: int = 32768,
     plane_cap: int = 160_000,
     shard_devices: bool = False,
+    cd_mags: Tuple[float, ...] = (1.0,),
 ) -> Dict:
     # per-job dict may carry "step_scale" (default 1.0): proposal-step
     # multiplier for searches whose init sits at a larger world scale than
@@ -425,7 +426,8 @@ def refine_cameras_batched(
             jnp.asarray(p["part_ids"]),
             jnp.asarray(np.asarray([p["H"], p["W"]], np.int32)),
             Hp, Wp, 0, pop_chunk, cd_rounds, lock_xy_equal, pop_chunk,
-            np.float32(jobs[k].get("step_scale", 1.0)),
+            np.float32(jobs[k].get("step_scale", 1.0)), False,
+            tuple(cd_mags),
         )
         polish.append((k, out))
     for k, (best, biou) in polish:

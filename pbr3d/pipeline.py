@@ -44,7 +44,7 @@ RETRY_IOU_FLOOR = {"front": 0.60, "drone": 0.45}
 
 
 def _retry_starts(kp_params: Dict, grid_shape, view: str = "drone",
-                  mask_hw=None):
+                  mask_hw=None, grid_labels=None, mask_labels=None):
     """(tag, init_params, step_scale) second-start family for one view.
 
     Front views are fronto-parallel: their kp azimuth is unambiguous and
@@ -82,6 +82,40 @@ def _retry_starts(kp_params: Dict, grid_shape, view: str = "drone",
         # triage across any monument/view in rounds 2-3.
         y = yaw_camera_about_center(kp_params, grid_shape, deg)
         starts.append((f"yaw{deg}+dolly2", dolly_zoom(y, 2.0), 2.0))
+    if grid_labels is not None and mask_labels is not None:
+        # Elevated bbox re-init: a drone photographs from ABOVE, but the
+        # kp fit can park the camera below the horizon (the minaret
+        # anchors' top/bottom swap leaves elevation ambiguous) — a false
+        # basin whose silhouette outline still scores (measured: Charminar
+        # drone plateaus at 0.53 there while the golden's above-horizon
+        # basin polishes to 0.65).  Naively reflecting the camera's y
+        # projects everything off-plane (no signal to climb from), so
+        # rebuild a FRESH bbox-matched init (camera at 2x the bbox
+        # diagonal, target = bbox center, principal point centered) along
+        # the kp direction with its elevation forced positive, and let the
+        # search walk in from there (probed: 0.14 start -> 0.62 polished).
+        from pbr3d.camera.estimate import (
+            auto_compute_initial_params_matching_bbox,
+        )
+        from pbr3d.carving.voxel import points_by_parts
+
+        try:
+            base = auto_compute_initial_params_matching_bbox(
+                grid_labels, mask_labels, list(ALIGN_PARTS))
+            pts, _ = points_by_parts(grid_labels, list(ALIGN_PARTS))
+            center = (pts.min(axis=0) + pts.max(axis=0)) / 2.0
+            size = float(np.linalg.norm(pts.max(axis=0) - pts.min(axis=0)))
+            d = np.asarray(kp_params["cam_pos"], np.float64) - center
+            d[1] = abs(d[1])
+            n = float(np.linalg.norm(d))
+            if n > 1e-6 and size > 0:
+                elev = dict(base)
+                elev["cam_pos"] = (center + 2.0 * size * (d / n)).astype(
+                    np.float64)
+                elev["target"] = np.asarray(center, np.float64)
+                starts.append(("elev+", elev, 2.0))
+        except Exception:
+            pass  # degenerate masks/grids: the classic family still runs
     return starts
 
 
@@ -178,7 +212,8 @@ def run_stage2(
             # _retry_starts / _stage2_all_batched)
             for _tag, init2, scale in _retry_starts(
                 kp_params[view], np.asarray(grid_labels).shape, view,
-                mask_hw=mask.shape[:2],
+                mask_hw=mask.shape[:2], grid_labels=grid_labels,
+                mask_labels=mask,
             ):
                 p2, iou2 = refine_camera_mask_iou(
                     grid_labels, mask, list(ALIGN_PARTS), init2,
@@ -591,6 +626,7 @@ def _stage2_all_batched(
     on_front_final=None,
     prep_futures: Optional[Dict] = None,
     shard_devices: bool = False,
+    deep_polish: bool = False,
 ) -> Dict[str, Dict[str, Dict[str, Dict]]]:
     """Stage 2 for every monument with cross-view device batching.
 
@@ -673,7 +709,9 @@ def _stage2_all_batched(
 
     with prof("stage2.fine_polish"):
         fine_polish([k for k in finals if k not in retry], 3)
-    if on_front_final is not None:
+    if on_front_final is not None and not deep_polish:
+        # (deep_polish re-searches every view at the end, so the front
+        # camera is only final after it — the callback fires there instead)
         for (m, view), (params, _) in finals.items():
             if view == "front" and (m, view) not in retry:
                 on_front_final(m, params)
@@ -701,6 +739,8 @@ def _stage2_all_batched(
                 for tag, init, scale in _retry_starts(
                     j["init_params"], np.asarray(j["grid_labels"]).shape,
                     k[1], mask_hw=np.asarray(j["mask_labels"]).shape[:2],
+                    grid_labels=j["grid_labels"],
+                    mask_labels=j["mask_labels"],
                 ):
                     jobs2[(k, tag)] = dict(j, init_params=init,
                                            step_scale=scale)
@@ -763,11 +803,47 @@ def _stage2_all_batched(
         drones = [k for k in retry if k[1] != "front"]
         if fronts:
             run_retries(fronts, "front")
-            if on_front_final is not None:
+            if on_front_final is not None and not deep_polish:
                 for (m, view) in fronts:
                     on_front_final(m, finals[(m, view)][0])
         if drones:
             run_retries(drones, "drone")
+
+    if deep_polish:
+        # Chained multi-trial polish (golden-resolution profile): each
+        # trial re-searches EVERY view from the RUNNING best with a
+        # different seed / proposal scale, and the coordinate-descent
+        # rounds probe several magnitudes of the annealed step in the same
+        # batch (cd_mags) — a Powell-style extension.  The single-schedule
+        # search freezes on plateau ridges 1-7% below the basin floor
+        # (measured at golden res: Bibi front 0.8113 -> 0.8397, Itimad
+        # front 0.5990 -> 0.6163, Charminar drone 0.5161 -> 0.53+ within
+        # its basin — scripts/probe_stage2_deep.py); the trials are grouped
+        # device programs over all views, so the wall cost is ~5 searches,
+        # not 5 x V.
+        with prof("stage2.deep_polish"):
+            for gens, ss, sd, mags, cdr in (
+                (24, 0.5, 0, (1.0, 0.25, 4.0), 12),
+                (24, 0.125, 0, (1.0, 0.25, 4.0), 12),
+                (0, 0.0625, 0, (1.0, 0.25, 0.0625, 16.0), 48),
+                (24, 0.25, 9, (1.0, 0.25, 4.0), 12),
+                (24, 0.0625, 17, (1.0, 0.25, 4.0), 24),
+            ):
+                jf = {
+                    k: dict(jobs[k], init_params=finals[k][0], step_scale=ss)
+                    for k in finals
+                }
+                out = refine_cameras_batched(
+                    jf, generations=gens, population=256, cd_rounds=cdr,
+                    seed=sd, cd_mags=mags, shard_devices=shard_devices,
+                )
+                for k, (params, iou) in out.items():
+                    if iou > finals[k][1]:
+                        finals[k] = (params, iou)
+        if on_front_final is not None:
+            for (m, view), (params, _) in finals.items():
+                if view == "front":
+                    on_front_final(m, params)
 
     for (m, view), (params, _) in finals.items():
         cameras[m]["final"][view] = params
@@ -895,12 +971,19 @@ def run_all(
     if batch_stage2 and len(monuments) > 1 and len(grids) == len(monuments):
         try:
             t0 = time.perf_counter()
+            stage2_kw = dict(kw.get("stage2_kw") or {})
+            # Golden-resolution profile: the chained deep polish costs ~5
+            # extra grouped searches and is what closes the last per-view
+            # objective-parity gaps; at bench resolution (<=256) the
+            # quality gates do not need it and the bench budget does.
+            stage2_kw.setdefault(
+                "deep_polish", max_dim is None or int(max_dim) > 256)
             cameras_all = _stage2_all_batched(
                 monuments, grids, data_root, out_dir,
                 on_front_final=on_front_final,
                 prep_futures=prep_futs,
                 shard_devices=shard_devices,
-                **(kw.get("stage2_kw") or {}),
+                **stage2_kw,
             )
             t2_share = (time.perf_counter() - t0) / max(len(monuments), 1)
             print(

@@ -326,3 +326,57 @@ def test_cd_mags_default_identical_and_multiscale_no_worse(
     # same generations prefix; the widened CD accepts only on improvement,
     # so the internal objective can only match or beat the classic one
     assert iou_multi >= iou_base - 1e-6
+
+
+def test_retry_starts_include_elevated_reinit(akbar_grid, akbar_front_mask):
+    """Drone retry families must include the elevated bbox re-init: camera
+    ABOVE the bbox center (positive elevation regardless of the kp
+    camera's sign), looking at the center, principal point centered — the
+    start that escapes the below-horizon false basin (Charminar drone
+    plateaus at 0.53 there; the golden's above-horizon basin polishes to
+    0.65)."""
+    from pbr3d.pipeline import _retry_starts
+
+    kp = {
+        "cam_pos": np.array([-80.0, -120.0, 90.0]),
+        "target": np.array([60.0, 60.0, 60.0]),
+        "f": 300.0, "cx": 64.0, "cy": 64.0,
+    }
+    starts = _retry_starts(
+        kp, akbar_grid.shape, "drone",
+        mask_hw=akbar_front_mask.shape[:2],
+        grid_labels=akbar_grid, mask_labels=akbar_front_mask,
+    )
+    tags = [t for t, _, _ in starts]
+    assert "elev+" in tags, tags
+    elev = [p for t, p, _ in starts if t == "elev+"][0]
+    assert elev["cam_pos"][1] > elev["target"][1]  # above the center
+    # kp camera was below (-120 < target y): elevation got flipped up
+    assert elev["cam_pos"][1] > 0
+    # front views keep the lean principal-point family (no bbox re-init)
+    fronts = _retry_starts(
+        kp, akbar_grid.shape, "front",
+        mask_hw=akbar_front_mask.shape[:2],
+        grid_labels=akbar_grid, mask_labels=akbar_front_mask,
+    )
+    assert "elev+" not in [t for t, _, _ in fronts]
+
+
+def test_refine_cameras_batched_accepts_cd_mags(akbar_grid, akbar_front_mask):
+    """The batched driver threads cd_mags into its per-view CD polish; the
+    widened probe batch accepts only on improvement, so the result can only
+    match or beat the classic schedule on the internal objective."""
+    from pbr3d.camera.align import refine_cameras_batched
+
+    parts = ["front_minarets", "back_minarets"]
+    init = auto_compute_initial_params_matching_bbox(
+        akbar_grid, akbar_front_mask, parts
+    )
+    job = dict(grid_labels=akbar_grid, mask_labels=akbar_front_mask,
+               parts=parts, init_params=init)
+    base = refine_cameras_batched(
+        {"a": job}, generations=4, population=16, cd_rounds=4, seed=0)
+    multi = refine_cameras_batched(
+        {"a": job}, generations=4, population=16, cd_rounds=4, seed=0,
+        cd_mags=(1.0, 0.25, 4.0))
+    assert multi["a"][1] >= base["a"][1] - 1e-6
