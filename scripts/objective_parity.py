@@ -4,6 +4,16 @@ color-exact splat IoU of the alignment parts,
 utils/camera_estimation.py:597-603,770-788) on the SAME golden-resolution
 stage-1 grid.  Writes results_temp_golden/objective_parity.json.
 
+Methodology (round-5 fix): a camera is only meaningful at the image
+resolution its pixel-unit intrinsics (f, cx, cy) were fitted for.  The
+aligner saves the session plane size in the JSON (camera_estimation.py:
+536-541), so each camera is scored at ITS OWN saved H/W when present;
+goldens saved without H/W (older sessions) get the BEST score over the
+plausible session resolutions {native, 256, 512, grid max-dim} with the
+argmax recorded.  A golden that scores ~0 at EVERY plausible resolution is
+a stale/broken save with no usable comparator: the row is marked
+``golden_na`` rather than counted as a win.
+
 Run from /root/repo: python scripts/objective_parity.py
 """
 import json
@@ -31,16 +41,34 @@ GOLD = "/root/reference/results"
 DATA = "/root/reference/data"
 MON = ["Taj", "Bibi", "Itimad", "Akbar", "Charminar"]
 
+#: Below this best-over-resolutions score a golden save is unusable (the
+#: round-4 probes put Taj/drone and Akbar/drone at 0.000-0.053 at every
+#: resolution even against the GOLDEN grids — stale saves, not comparators).
+NA_FLOOR = 0.10
+
+
+def saved_hw(cam_dir, m, view):
+    with open(os.path.join(cam_dir, "2.Perspective_Camera_Estimation",
+                           f"{m}_camera_params_final.json")) as fh:
+        d = json.load(fh)
+    p = d.get(view)
+    if p and "H" in p and "W" in p:
+        return int(p["H"]), int(p["W"])
+    return None
+
+
+def score_at(grid, m, view, cam, max_dim):
+    mask = load_mask_labels(DATA, m, view, max_dim)
+    return float(evaluate_camera_iou(grid, mask, list(ALIGN_PARTS), cam)), list(mask.shape)
+
+
 out = {}
 for m in MON:
     grid = load_voxel_grid_labels(
         os.path.join(OURS, "1.Orthographic_Voxel_Carving", f"{m}_voxel_grid.npz")
     )
-    max_dim = int(np.max(grid.shape))
+    grid_dim = int(np.max(grid.shape))
     for view in ("front", "drone"):
-        mask = load_mask_labels(
-            DATA, m, view, max_dim if view == "front" else None
-        )
         row = {}
         for tag, cam_dir in (("ours", OURS), ("golden", GOLD)):
             try:
@@ -54,11 +82,44 @@ for m in MON:
             except Exception as e:  # view missing from one side
                 print(f"{m}/{view} {tag}: {e}", file=sys.stderr)
                 row[tag] = 0.0
+                row[f"{tag}_eval_hw"] = None
                 continue
-            row[tag] = float(evaluate_camera_iou(grid, mask, list(ALIGN_PARTS), cam))
+            hw = saved_hw(cam_dir, m, view)
+            if hw is not None:
+                # the save records its session plane: score there, exactly
+                s, shape = score_at(grid, m, view, cam, max(hw))
+                if tuple(shape) != hw:
+                    print(f"{m}/{view} {tag}: mask {shape} != saved {hw}",
+                          file=sys.stderr)
+                row[tag], row[f"{tag}_eval_hw"] = s, shape
+            else:
+                # no saved plane: best over the plausible session resolutions
+                tried = {}
+                for md in (None, 256, 512, grid_dim):
+                    s, shape = score_at(grid, m, view, cam, md)
+                    tried[tuple(shape)] = s
+                best_hw = max(tried, key=tried.get)
+                row[tag] = tried[best_hw]
+                row[f"{tag}_eval_hw"] = list(best_hw)
+                row[f"{tag}_tried"] = {f"{h}x{w}": v for (h, w), v in tried.items()}
+        row["status"] = (
+            "golden_na" if row["golden"] < NA_FLOOR
+            else ("beat" if row["ours"] > row["golden"] else "lost")
+        )
         out[f"{m}/{view}"] = row
-        print(f"{m}/{view}: ours {row['ours']:.4f}  golden {row['golden']:.4f}",
-              flush=True)
+        print(f"{m}/{view}: ours {row['ours']:.4f} @{row['ours_eval_hw']}  "
+              f"golden {row['golden']:.4f} @{row['golden_eval_hw']}  "
+              f"[{row['status']}]", flush=True)
+
+n_beat = sum(1 for r in out.values() if r["status"] == "beat")
+n_comp = sum(1 for r in out.values() if r["status"] != "golden_na")
+out["_summary"] = {
+    "beat": n_beat, "comparable": n_comp,
+    "golden_na": [k for k, r in out.items()
+                  if isinstance(r, dict) and r.get("status") == "golden_na"],
+}
+print(f"summary: {n_beat}/{n_comp} comparable views beat, "
+      f"{len(out['_summary']['golden_na'])} golden saves unusable")
 
 path = os.path.join(OURS, "objective_parity.json")
 json.dump(out, open(path, "w"), indent=1)
