@@ -302,13 +302,26 @@ def _auto_chunk(cost_units: int, chunk_cap: int) -> int:
     return int(min(c, chunk_cap))
 
 
+#: Largest single-dispatch candidate batch.  The device round-trip costs a
+#: FIXED ~23 ms (tunnel latency) on top of ~10 ns/point-candidate of real
+#: work (measured, scripts/probe_eval_scaling.py), so a 100-candidate stage
+#: is far cheaper as ONE padded 128-dispatch than as two blocking
+#: 64-dispatches.  4x the legacy per-dispatch cap; the memory budget below
+#: still bounds resident point work.
+_CHUNK_MAX_MULT = 4
+
+
 def _eval_chunked(deforms: np.ndarray, chunk_cap: int, fn=None, approx=False,
                   **kw) -> np.ndarray:
-    """Evaluate P candidates in fixed-size chunks.  Small batches (P=1..2
-    re-checks) are PADDED UP to the same chunk shape the search batches use:
-    one executable per point bucket instead of one per batch size (remote
-    compiles cost ~a minute each on this backend)."""
-    outs = []
+    """Evaluate P candidates, preferring ONE pow2-padded dispatch.
+
+    Shapes are padded to powers of two (>= 8) so the distinct compiled
+    executables stay few; tiny stages (the exact top-k re-eval is ~8
+    candidates) get a matching small dispatch instead of padding up to the
+    search-stage chunk — at 7x point cost per exact candidate the old
+    64-padding was ~150 ms of pure waste per part.  When P exceeds the
+    memory-bounded chunk, ALL chunks are enqueued before the first blocking
+    read so the device queue never drains between them."""
     P = deforms.shape[0]
     n = kw["coords"].shape[0]
     cost = n if approx else 7 * n
@@ -319,12 +332,14 @@ def _eval_chunked(deforms: np.ndarray, chunk_cap: int, fn=None, approx=False,
         nbq = kw["nb_zb"]
         cost += (nbq.shape[0] * nbq.shape[1] * nbq.shape[2]) // 4
     kw["approx"] = approx
-    chunk = _auto_chunk(cost, chunk_cap)
+    cap = _auto_chunk(cost, _CHUNK_MAX_MULT * chunk_cap)
+    chunk = max(8, 1 << (P - 1).bit_length())  # pow2 >= P
+    chunk = min(chunk, cap)
     pad = (-P) % chunk
     d = np.concatenate([deforms, np.tile(IDENTITY_DEFORM, (pad, 1))]) if pad else deforms
-    for i in range(0, len(d), chunk):
-        outs.append(np.asarray(fn(jnp.asarray(d[i : i + chunk]), **kw)))
-    return np.concatenate(outs)[:P]
+    outs = [fn(jnp.asarray(d[i : i + chunk]), **kw)
+            for i in range(0, len(d), chunk)]
+    return np.concatenate([np.asarray(o) for o in outs])[:P]
 
 
 def _pad_plane_hw(H: int, W: int) -> Tuple[int, int]:
@@ -379,6 +394,7 @@ def optimize_part_deform(
     _seed_cands: Optional[np.ndarray] = None,
     _return_zb: bool = False,
     _table=None,
+    _batcher=None,
 ) -> Tuple[np.ndarray, float]:
     """Best (scale_y, shift_y, scale_xz, shift_xz) for one part + its IoU.
 
@@ -507,14 +523,30 @@ def optimize_part_deform(
 
     from pbr3d.utils.profiling import prof
 
-    def ev(deforms, pp, vv, approx):
-        # (P,) own IoU without _nb; (P, 3) score components with it
-        return _eval_chunked(
-            np.asarray(deforms, np.float32), chunk, approx=approx,
-            coords=jnp.asarray(pp), valid=jnp.asarray(vv), cam_vec=cam_vec,
-            gt_part=gt, rest_zbuf=rest_j, true_hw=true_hw,
-            voxel_shape=vs, center=center, H=Hp, W=Wp, **nb_kw,
-        )
+    if _batcher is not None:
+        from pbr3d.deform.batched import eval_candidates_batched
+
+        kind = "pen" if _nb is not None else "plain"
+        nb_dev = (tuple(nb_kw[k] for k in
+                        ("nb_zb", "nb_base", "nb_gt", "nb_floor", "nb_valid"))
+                  if _nb is not None else None)
+
+        def ev(deforms, pp, vv, approx):
+            common = (jnp.asarray(pp), jnp.asarray(vv), cam_vec, gt, rest_j,
+                      true_hw, vs, center)
+            return eval_candidates_batched(
+                _batcher, np.asarray(deforms, np.float32), chunk, kind,
+                approx, common, nb_dev, Hp, Wp,
+            )
+    else:
+        def ev(deforms, pp, vv, approx):
+            # (P,) own IoU without _nb; (P, 3) score components with it
+            return _eval_chunked(
+                np.asarray(deforms, np.float32), chunk, approx=approx,
+                coords=jnp.asarray(pp), valid=jnp.asarray(vv), cam_vec=cam_vec,
+                gt_part=gt, rest_zbuf=rest_j, true_hw=true_hw,
+                voxel_shape=vs, center=center, H=Hp, W=Wp, **nb_kw,
+            )
 
     gw = float(_gain_w)
     dual = (_dual_gain_w is not None and _nb is not None
@@ -703,10 +735,18 @@ def optimize_part_deform(
         return _finish((np.asarray(best, np.float32), float(iou_inc)),
                        _zb_incumbent)
     with prof(f"opd.{part}.accept_zb", sync=False):
-        zb_best = fast_get(deformed_zbuffer(
-            jnp.asarray(best), jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
-            true_hw, vs, center, Hp, Wp,
-        ))
+        if _batcher is not None:
+            from pbr3d.deform.batched import zbuffer_batched
+
+            zb_best = zbuffer_batched(
+                _batcher, best, jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
+                true_hw, vs, center, Hp, Wp,
+            )
+        else:
+            zb_best = fast_get(deformed_zbuffer(
+                jnp.asarray(best), jnp.asarray(p_f), jnp.asarray(v_f), cam_vec,
+                true_hw, vs, center, Hp, Wp,
+            ))
     iou_best = _visible_iou_from_zb(zb_best, rest, gt_p)
     score_best, score_id = iou_best, iou_id
     if _nb is not None:
@@ -829,6 +869,7 @@ def refine_parts(
     first_gain_w: float = 0.0,
     cache=None,
     table=None,
+    batcher=None,
     zb_identity_out: Optional[Dict[str, np.ndarray]] = None,
     part_sets_out: Optional[Dict] = None,
     zb_identity_in: Optional[Dict[str, np.ndarray]] = None,
@@ -921,6 +962,57 @@ def refine_parts(
     if not parts:
         return {}
 
+    body = functools.partial(
+        _refine_parts_body, grid_labels, mask_labels, cam, parts,
+        pin_identity=pin_identity, overrides=overrides, verify=verify,
+        sweeps=sweeps, first_gain_w=first_gain_w, cache=cache, table=table,
+        batcher=batcher, zb_identity_out=zb_identity_out,
+        part_sets_out=part_sets_out, zb_identity_in=zb_identity_in,
+        part_sets_in=part_sets_in, centers_in=centers_in,
+        dual_gain_w=dual_gain_w, pass0_done=pass0_done,
+        pass0_snapshot_out=pass0_snapshot_out, pass0_prefix=pass0_prefix,
+        resweep_window=resweep_window, seed_cands=seed_cands,
+        follow_seeds=follow_seeds, **kw,
+    )
+    if batcher is not None:
+        # register this chain for the lockstep flush policy; the wrapper
+        # guarantees exit even when a search raises
+        batcher.chain_enter()
+        try:
+            return body()
+        finally:
+            batcher.chain_exit()
+    return body()
+
+
+def _refine_parts_body(
+    grid_labels,
+    mask_labels,
+    cam,
+    parts,
+    *,
+    pin_identity,
+    overrides,
+    verify,
+    sweeps,
+    first_gain_w,
+    cache,
+    table,
+    batcher,
+    zb_identity_out,
+    part_sets_out,
+    zb_identity_in,
+    part_sets_in,
+    centers_in,
+    dual_gain_w,
+    pass0_done,
+    pass0_snapshot_out,
+    pass0_prefix,
+    resweep_window,
+    seed_cands,
+    follow_seeds,
+    **kw,
+):
     H, W = np.asarray(mask_labels).shape[:2]
     Hp, Wp = _pad_plane_hw(H, W)
     cam_vec = jnp.asarray(params_to_vector(cam))
@@ -963,6 +1055,13 @@ def refine_parts(
 
     def zb_at(p: str, deform: np.ndarray) -> np.ndarray:
         pp, vv, _ = padded_sets[p]
+        if batcher is not None:
+            from pbr3d.deform.batched import zbuffer_batched
+
+            return zbuffer_batched(
+                batcher, deform, pp, vv, cam_vec, true_hw, vs, centers[p],
+                Hp, Wp,
+            )
         return fast_get(deformed_zbuffer(
             jnp.asarray(deform), pp, vv, cam_vec, true_hw, vs, centers[p],
             Hp, Wp,
@@ -1129,6 +1228,7 @@ def refine_parts(
         return optimize_part_deform(
             grid_labels, p, mask_labels, cam,
             rest_zbuf=rest_zb(p),
+            _batcher=batcher,
             _device_full=padded_sets[p][:2],
             _zb_identity=zb_identity[p],
             _nb=nb_bundle(p),

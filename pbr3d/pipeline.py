@@ -252,6 +252,7 @@ def run_stage3(
     part_names: Optional[Sequence[str]] = None,
     overrides: Optional[Dict | str | Path] = None,
     exact_verify: bool = True,
+    batcher=None,
     **search_kw,
 ):
     """Part-wise 3D refinement (notebook 3) under the fixed front camera.
@@ -332,7 +333,7 @@ def run_stage3(
         with prof(f"stage3.{monument}.refine_parts[g{gw:g}]"):
             return refine_parts(
                 grid_labels, mask, cam_final_front, part_names,
-                overrides=overrides, table=table,
+                overrides=overrides, table=table, batcher=batcher,
                 zb_identity_in=zb_identity, part_sets_in=part_sets,
                 centers_in=centers_j,
                 first_gain_w=gw,
@@ -865,7 +866,7 @@ def run_all(
     strict: bool = False,
     batch_stage1: bool = True,
     batch_stage2: bool = True,
-    stage3_workers: int = 3,
+    stage3_workers: int = 5,
     **kw,
 ) -> Dict[str, PipelineResult]:
     """Run the full pipeline for every monument, phase-major.
@@ -952,10 +953,17 @@ def run_all(
     ex3 = ThreadPoolExecutor(max_workers=max(1, stage3_workers))
     futs3: Dict[str, object] = {}
 
+    # One shared eval batcher: concurrent monuments' same-stage part
+    # searches land in single scene-stacked device programs (the stage-3
+    # monument axis; pbr3d.deform.batched).
+    from pbr3d.deform.batched import DeformEvalBatcher
+
+    batcher = DeformEvalBatcher(mesh=mesh1) if len(monuments) > 1 else None
+
     def stage3_task(m: str, cam_front: Dict):
         t0 = time.perf_counter()
         deforms, grid3 = run_stage3(
-            m, grids[m], cam_front, data_root, out_dir,
+            m, grids[m], cam_front, data_root, out_dir, batcher=batcher,
             **(kw.get("stage3_kw") or {})
         )
         t3 = time.perf_counter() - t0

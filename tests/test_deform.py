@@ -652,3 +652,67 @@ def test_rigid_consistency_seed_matches_warp_algebra():
         338 / 512,
     )
     assert -25.0 < seed[1] < -12.0, seed
+
+
+def test_batched_refine_matches_serial():
+    """Two concurrent refine_parts chains sharing a DeformEvalBatcher must
+    produce BIT-IDENTICAL deforms/IoUs to the serial unbatched path: the
+    scene-stacked grouped program is a `jax.vmap` over per-slot computations
+    that reproduce the single-monument programs op-for-op
+    (pbr3d/deform/batched.py), so batch composition cannot change results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pbr3d.deform.batched import DeformEvalBatcher
+    from pbr3d.deform.search import refine_parts
+    from pbr3d.ops.point_table import build_point_table
+
+    size = 48
+    mid = config.PART_IDS["front_minarets"]
+    did = config.PART_IDS["dome"]
+    wid = config.PART_IDS["windows"]
+
+    grids, masks = [], []
+    g = np.zeros((size, size, size), np.uint8)
+    g[20:28, 8:40, 4:10] = mid
+    g[20:28, 8:20, 20:28] = did
+    g[10:16, 22:30, 12:18] = wid
+    m = np.zeros((size, size), np.uint8)
+    m[6:40, 2:12] = mid
+    m[16:34, 18:34] = did
+    m[20:32, 10:20] = wid
+    grids.append(g); masks.append(m)
+    g2 = np.zeros((size, size, size), np.uint8)
+    g2[18:30, 10:38, 6:12] = mid
+    g2[16:30, 10:22, 18:30] = did
+    g2[8:18, 20:32, 10:16] = wid
+    m2 = np.zeros((size, size), np.uint8)
+    m2[8:38, 4:14] = mid
+    m2[14:36, 16:36] = did
+    m2[18:34, 8:18] = wid
+    grids.append(g2); masks.append(m2)
+
+    cam = _simple_cam(size)
+    kw = dict(
+        part_names=["front_minarets", "dome", "windows"],
+        search_stride=1, chunk=16,
+        scale_range=(0.9, 1.1, 3), shift_range=(-10, 10, 3), refine_steps=3,
+    )
+
+    serial = [refine_parts(gr, mk, cam, table=build_point_table(gr), **kw)
+              for gr, mk in zip(grids, masks)]
+
+    batcher = DeformEvalBatcher(window_s=0.05)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [
+            ex.submit(refine_parts, gr, mk, cam,
+                      table=build_point_table(gr), batcher=batcher, **kw)
+            for gr, mk in zip(grids, masks)
+        ]
+        batched = [f.result() for f in futs]
+
+    assert batcher.dispatches > 0
+    for s, b in zip(serial, batched):
+        assert set(s) == set(b)
+        for p in s:
+            assert s[p]["deform"] == b[p]["deform"], p
+            assert s[p]["iou"] == b[p]["iou"], p
