@@ -127,6 +127,22 @@ def _one_zb(H, W, a):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "approx", "H", "W"))
+def _grouped_eval_stacked(kind: str, approx: bool, H: int, W: int, *stacked):
+    """Mesh-shardable form of :func:`_grouped_eval`: every argument already
+    carries the leading scene axis, so `jit` partitions the program along it
+    when the inputs are placed with a ``scene`` `NamedSharding` (each
+    monument's slot computes on its own chip; there is no cross-slot
+    communication to insert)."""
+    if kind == "pen":
+        f = functools.partial(_one_pen, approx, H, W)
+    elif kind == "plain":
+        f = functools.partial(_one_plain, approx, H, W)
+    else:
+        f = functools.partial(_one_zb, H, W)
+    return jax.vmap(lambda *a: f(tuple(a)))(*stacked)
+
+
 @functools.partial(
     jax.jit, static_argnames=("kind", "approx", "H", "W", "M"))
 def _grouped_eval(kind: str, approx: bool, H: int, W: int, M: int, *flat):
@@ -252,7 +268,28 @@ class DeformEvalBatcher:
         kind, approx, H, W = key[0], key[1], key[2], key[3]
         M = len(entries)
         try:
-            if M == 1:
+            if self.mesh is not None and "scene" in getattr(
+                    self.mesh, "shape", {}):
+                # multi-chip: pad the group to the scene-axis extent and
+                # shard slots across chips (zero-communication data
+                # parallelism over monuments)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                S = int(self.mesh.shape["scene"])
+                Mp = -(-M // S) * S
+                slots = [e.arrays for e in entries]
+                slots += [entries[0].arrays] * (Mp - M)
+                spec = NamedSharding(self.mesh, PartitionSpec("scene"))
+                stacked = tuple(
+                    jax.device_put(
+                        jnp.stack([s[j] for s in slots]), spec)
+                    for j in range(len(slots[0]))
+                )
+                out = _grouped_eval_stacked(kind, approx, H, W, *stacked)
+                res = fast_get(out)
+                for i, e in enumerate(entries):
+                    e.result = res[i]
+            elif M == 1:
                 # solo slot: reuse the single-monument executables (already
                 # compiled/cached for the serial path) instead of minting
                 # M=1 variants of the grouped program

