@@ -339,7 +339,8 @@ def _eval_chunked(deforms: np.ndarray, chunk_cap: int, fn=None, approx=False,
     d = np.concatenate([deforms, np.tile(IDENTITY_DEFORM, (pad, 1))]) if pad else deforms
     outs = [fn(jnp.asarray(d[i : i + chunk]), **kw)
             for i in range(0, len(d), chunk)]
-    return np.concatenate([np.asarray(o) for o in outs])[:P]
+    # fast_get: rank>=2 downloads are pathologically slow on this backend
+    return np.concatenate([fast_get(o) for o in outs])[:P]
 
 
 def _pad_plane_hw(H: int, W: int) -> Tuple[int, int]:

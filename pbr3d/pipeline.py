@@ -12,6 +12,7 @@ evaluation notebooks keep working.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from pathlib import Path
 from typing import Dict, Optional, Sequence
@@ -866,7 +867,7 @@ def run_all(
     strict: bool = False,
     batch_stage1: bool = True,
     batch_stage2: bool = True,
-    stage3_workers: int = 5,
+    stage3_workers: int = 3,
     **kw,
 ) -> Dict[str, PipelineResult]:
     """Run the full pipeline for every monument, phase-major.
@@ -953,12 +954,21 @@ def run_all(
     ex3 = ThreadPoolExecutor(max_workers=max(1, stage3_workers))
     futs3: Dict[str, object] = {}
 
-    # One shared eval batcher: concurrent monuments' same-stage part
-    # searches land in single scene-stacked device programs (the stage-3
-    # monument axis; pbr3d.deform.batched).
+    # Shared eval batcher: concurrent monuments' same-stage part searches
+    # land in single scene-stacked device programs (the stage-3 monument
+    # axis; pbr3d.deform.batched).  It is the MULTI-DEVICE path — the
+    # stacked scene axis shards over the mesh, scaling stage 3 across
+    # chips.  On a single chip the worker threads already overlap the
+    # dispatch round-trips and lockstep grouping only adds padding, so the
+    # batcher stays off unless forced (PBR3D_STAGE3_BATCHER=1/0 overrides;
+    # measured on the tunneled v5e: batched single-chip stage-3 walls
+    # 39-67 s vs 29-46 s threaded-unbatched).
     from pbr3d.deform.batched import DeformEvalBatcher
 
-    batcher = DeformEvalBatcher(mesh=mesh1) if len(monuments) > 1 else None
+    _force = os.environ.get("PBR3D_STAGE3_BATCHER", "")
+    use_batcher = (shard_devices if _force == "" else _force == "1")
+    batcher = (DeformEvalBatcher(mesh=mesh1)
+               if use_batcher and len(monuments) > 1 else None)
 
     def stage3_task(m: str, cam_front: Dict):
         t0 = time.perf_counter()
