@@ -148,10 +148,12 @@ def main():
         stage2_kw=dict(generations=12, population=192, seed=0),
         stage3_kw=dict(search_stride=8),
     )
-    # Pass 1 builds every executable (this backend recompiles per process:
-    # its persistent cache does not transfer).  The reported value is the
-    # median of the steady-state passes — the serving-relevant number; the
-    # cold time is on stderr.
+    # Pass 1 is the fresh-process pass: with a warm .jax_cache it pays
+    # executable deserialization + first-dispatch setup (~2x steady,
+    # measured r5); with a cold cache it pays the full remote compile wave
+    # (see scripts/compile_inventory.py for the measured decomposition).
+    # The reported value is the median of the steady-state passes — the
+    # serving-relevant number; the cold time is in the JSON as cold_s.
     times = []
     for p in range(passes):
         t0 = time.perf_counter()
@@ -160,8 +162,8 @@ def main():
         print(f"[bench] pass {p + 1}/{passes}: {times[-1]:.1f}s", file=sys.stderr)
     steady = times[1:] if len(times) > 1 else times
     value = statistics.median(steady)
-    # Cold pass = this process's compile wave (the backend's persistent cache
-    # does not transfer across processes); reported alongside the steady
+    # Cold pass = this process's first pass (cache deserialization, or the
+    # compile wave when the cache is cold); reported alongside the steady
     # median so the serving number and the fresh-process number are both in
     # the artifact.
     cold_s = times[0]

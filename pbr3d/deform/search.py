@@ -347,6 +347,18 @@ def _pad_plane_hw(H: int, W: int) -> Tuple[int, int]:
     return (-(-H // 128) * 128, -(-W // 128) * 128)
 
 
+def _shell_bucket(m: int) -> int:
+    """Search-shell pad size: pow2 OR 1.5x-pow2 (3*2^k).
+
+    The capped coarse shell (24576 points) padded to the next pow2 bucket
+    (32768) made every coarse/joint candidate pay 33% padding compute;
+    allowing the half-step bucket fits it exactly.  Costs at most one extra
+    executable per size class (the candidate evals are compiled per point
+    bucket)."""
+    b = bucket_size(m)
+    return 3 * b // 4 if m <= 3 * b // 4 and 3 * b // 4 >= 1024 else b
+
+
 def pad_points_i16(pts: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:
     """Bucket-pad integer voxel coordinates as int16 (they fit: grids are
     <=512 per axis).  Host->device transfer over the remote tunnel dominates
@@ -476,9 +488,9 @@ def optimize_part_deform(
         s_f = max(surface_stride, -(-n_shell // fine_cap))
         s_c = max(2 * surface_stride, -(-n_shell // coarse_cap))
         p_s, v_s = _table.shell_window(
-            pid, s_f, bucket_size(-(-n_shell // s_f)))
+            pid, s_f, _shell_bucket(-(-n_shell // s_f)))
         p_sc, v_sc = _table.shell_window(
-            pid, s_c, bucket_size(-(-n_shell // s_c)))
+            pid, s_c, _shell_bucket(-(-n_shell // s_c)))
         center = jnp.asarray(np.asarray(_table.center(pid), np.float32))
         p_f, v_f = _device_full if _device_full is not None else (
             _table.part_window(pid, 1, bucket_size(n_pts)))
@@ -500,8 +512,8 @@ def optimize_part_deform(
             sub_fine = pts[::search_stride]
             sub_coarse = pts[:: 2 * search_stride]
         center = jnp.asarray(np.asarray(pts.mean(axis=0), np.float32))  # FULL-set centroid
-        p_sc, v_sc = pad_points_i16(sub_coarse, bucket_size(len(sub_coarse)))
-        p_s, v_s = pad_points_i16(sub_fine, bucket_size(len(sub_fine)))
+        p_sc, v_sc = pad_points_i16(sub_coarse, _shell_bucket(len(sub_coarse)))
+        p_s, v_s = pad_points_i16(sub_fine, _shell_bucket(len(sub_fine)))
         if _device_full is not None:
             p_f, v_f = _device_full  # device-resident: skip the big re-upload
         else:

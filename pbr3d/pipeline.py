@@ -290,9 +290,14 @@ def run_stage3(
         # cutting the dominant search stage ~2x.  Golden-resolution runs
         # keep the full-precision defaults (measured there: exact_topk 6
         # costs Itimad main_door 0.904 -> 0.898).  Callers can override
-        # both through stage3_kw.
+        # all three through stage3_kw.
         search_kw.setdefault("exact_topk", 6)
         search_kw.setdefault("fine_cap", 32768)
+        # Conditioning resweeps only need the local neighborhood around
+        # each incumbent plus the identity revert row (the global sweep is
+        # pass-0 work): a +-1.5-coarse-step 5x5 offset window per axis pair
+        # replaces the full slider grid (deform/search.py `_window`).
+        search_kw.setdefault("resweep_window", (1.5, 5))
 
     from pbr3d.ops.point_table import build_point_table
     from pbr3d.utils.profiling import prof
