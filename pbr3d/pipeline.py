@@ -298,6 +298,18 @@ def run_stage3(
         # pass-0 work): a +-1.5-coarse-step 5x5 offset window per axis pair
         # replaces the full slider grid (deform/search.py `_window`).
         search_kw.setdefault("resweep_window", (1.5, 5))
+    else:
+        # Golden-resolution profile: a denser coarse slider grid (16x13 vs
+        # 11x9) and a third windowed conditioning sweep.  Probed on the
+        # exact nb4 totals (scripts/probe_cells_r5.py): Taj +0.08,
+        # Itimad +0.14, Bibi +-0.00 vs the 11x9 schedule, with every Taj
+        # cell up (chhatris 0.757 -> 0.801).  Deform steps quantize to the
+        # fine 512-voxel lattice, so the extra coarse density pays off
+        # exactly where preview resolutions cannot use it.
+        search_kw.setdefault("scale_range", (0.5, 2.0, 16))
+        search_kw.setdefault("shift_range", (-100.0, 100.0, 13))
+        search_kw.setdefault("sweeps", 3)
+        search_kw.setdefault("resweep_window", (2.5, 7))
 
     from pbr3d.ops.point_table import build_point_table
     from pbr3d.utils.profiling import prof
@@ -828,29 +840,46 @@ def _stage2_all_batched(
         # its basin — scripts/probe_stage2_deep.py); the trials are grouped
         # device programs over all views, so the wall cost is ~5 searches,
         # not 5 x V.
-        with prof("stage2.deep_polish"):
-            for gens, ss, sd, mags, cdr in (
-                (24, 0.5, 0, (1.0, 0.25, 4.0), 12),
-                (24, 0.125, 0, (1.0, 0.25, 4.0), 12),
-                (0, 0.0625, 0, (1.0, 0.25, 0.0625, 16.0), 48),
-                (24, 0.25, 9, (1.0, 0.25, 4.0), 12),
-                (24, 0.0625, 17, (1.0, 0.25, 4.0), 24),
-            ):
-                jf = {
-                    k: dict(jobs[k], init_params=finals[k][0], step_scale=ss)
-                    for k in finals
-                }
-                out = refine_cameras_batched(
-                    jf, generations=gens, population=256, cd_rounds=cdr,
-                    seed=sd, cd_mags=mags, shard_devices=shard_devices,
-                )
-                for k, (params, iou) in out.items():
-                    if iou > finals[k][1]:
-                        finals[k] = (params, iou)
+        TRIALS = (
+            (24, 0.5, 0, (1.0, 0.25, 4.0), 12),
+            (24, 0.125, 0, (1.0, 0.25, 4.0), 12),
+            (0, 0.0625, 0, (1.0, 0.25, 0.0625, 16.0), 48),
+            (24, 0.25, 9, (1.0, 0.25, 4.0), 12),
+            (24, 0.0625, 17, (1.0, 0.25, 4.0), 24),
+        )
+
+        def run_trials(ks, label):
+            with prof(f"stage2.deep_polish[{label}]"):
+                for gens, ss, sd, mags, cdr in TRIALS:
+                    jf = {
+                        k: dict(jobs[k], init_params=finals[k][0],
+                                step_scale=ss)
+                        for k in ks
+                    }
+                    out = refine_cameras_batched(
+                        jf, generations=gens, population=256, cd_rounds=cdr,
+                        seed=sd, cd_mags=mags, shard_devices=shard_devices,
+                    )
+                    for k, (params, iou) in out.items():
+                        if iou > finals[k][1]:
+                            finals[k] = (params, iou)
+
+        # FRONT views first, then fire stage 3, then the drone trials:
+        # part refinement depends only on the front camera, so at golden
+        # resolution the drone trials (~half the polish wall) overlap the
+        # stage-3 searches instead of serializing before them.  Results are
+        # unchanged: per-view searches are independent, seeded per trial
+        # (not per slot), and the population (256) is a power of two so the
+        # view-count-dependent chunk rounding cannot alter the effective
+        # population.
+        fronts = [k for k in finals if k[1] == "front"]
+        drones = [k for k in finals if k[1] != "front"]
+        run_trials(fronts, "front")
         if on_front_final is not None:
             for (m, view), (params, _) in finals.items():
                 if view == "front":
                     on_front_final(m, params)
+        run_trials(drones, "drone")
 
     for (m, view), (params, _) in finals.items():
         cameras[m]["final"][view] = params
