@@ -581,12 +581,24 @@ def optimize_part_deform(
                 diverged = True
         return bp
 
-    s0, s1, ns = scale_range
-    d0, d1, nd = shift_range
-    scales = np.linspace(s0, s1, ns)
-    shifts = np.linspace(d0, d1, nd)
-    scale_step = (s1 - s0) / max(ns - 1, 1)
-    shift_step = (d1 - d0) / max(nd - 1, 1)
+    def _lattice(rng):
+        """linspace of one (lo, hi, n) triple, or the sorted UNION of a
+        list of triples.  Two different densities over the same span have
+        non-nested lattices (linspace(.5,2,11) and (.5,2,16) share only the
+        endpoints), so a denser grid can LOSE basins the coarser one found
+        — the golden profile unions both (measured: the 16x13-only grid
+        dropped Itimad windows 0.923 -> 0.857 while the 11x9 grid held it).
+        The step (for the joint/refine windows) follows the FINEST triple."""
+        if isinstance(rng[0], (tuple, list)):
+            vals = np.unique(np.concatenate(
+                [np.linspace(a, b, n) for a, b, n in rng]).round(9))
+            step = min((b - a) / max(n - 1, 1) for a, b, n in rng)
+            return vals, step
+        a, b, n = rng
+        return np.linspace(a, b, n), (b - a) / max(n - 1, 1)
+
+    scales, scale_step = _lattice(scale_range)
+    shifts, shift_step = _lattice(shift_range)
 
     seeds = None
     if _seed_cands is not None:

@@ -299,15 +299,20 @@ def run_stage3(
         # replaces the full slider grid (deform/search.py `_window`).
         search_kw.setdefault("resweep_window", (1.5, 5))
     else:
-        # Golden-resolution profile: a denser coarse slider grid (16x13 vs
-        # 11x9) and a third windowed conditioning sweep.  Probed on the
-        # exact nb4 totals (scripts/probe_cells_r5.py): Taj +0.08,
-        # Itimad +0.14, Bibi +-0.00 vs the 11x9 schedule, with every Taj
-        # cell up (chhatris 0.757 -> 0.801).  Deform steps quantize to the
-        # fine 512-voxel lattice, so the extra coarse density pays off
-        # exactly where preview resolutions cannot use it.
-        search_kw.setdefault("scale_range", (0.5, 2.0, 16))
-        search_kw.setdefault("shift_range", (-100.0, 100.0, 13))
+        # Golden-resolution profile: the coarse slider grid is the UNION of
+        # the production 11x9 lattice and a denser 16x13 one, plus a third
+        # windowed conditioning sweep.  Probed on the exact nb4 totals
+        # (scripts/probe_cells_r5.py): the denser lattice wins Taj +0.08
+        # (chhatris 0.757 -> 0.801 — joint-growth basins between the 11-grid
+        # points) and Itimad dome/main_door, but the two lattices share only
+        # their endpoints, so the dense grid ALONE dropped Itimad windows
+        # 0.923 -> 0.857; the union keeps both baskets.  Deform steps
+        # quantize to the fine 512-voxel lattice, so the extra coarse
+        # density pays off exactly where preview resolutions cannot use it.
+        search_kw.setdefault(
+            "scale_range", [(0.5, 2.0, 11), (0.5, 2.0, 16)])
+        search_kw.setdefault(
+            "shift_range", [(-100.0, 100.0, 9), (-100.0, 100.0, 13)])
         search_kw.setdefault("sweeps", 3)
         search_kw.setdefault("resweep_window", (2.5, 7))
 
