@@ -283,6 +283,7 @@ def run_stage3(
     if pad:
         grid_labels = np.pad(grid_labels, ((0, 0), (0, pad), (0, 0)))
     mask = load_mask_labels(data_root, monument, "front", max_dim)
+    extra_profiles = []
     if max_dim <= 256:
         # Fast search profile at preview resolutions: deform steps quantize
         # to coarser voxels, so fewer exact 7-jitter candidates and a
@@ -299,22 +300,26 @@ def run_stage3(
         # replaces the full slider grid (deform/search.py `_window`).
         search_kw.setdefault("resweep_window", (1.5, 5))
     else:
-        # Golden-resolution profile: the coarse slider grid is the UNION of
-        # the production 11x9 lattice and a denser 16x13 one, plus a third
-        # windowed conditioning sweep.  Probed on the exact nb4 totals
-        # (scripts/probe_cells_r5.py): the denser lattice wins Taj +0.08
-        # (chhatris 0.757 -> 0.801 — joint-growth basins between the 11-grid
-        # points) and Itimad dome/main_door, but the two lattices share only
-        # their endpoints, so the dense grid ALONE dropped Itimad windows
-        # 0.923 -> 0.857; the union keeps both baskets.  Deform steps
-        # quantize to the fine 512-voxel lattice, so the extra coarse
-        # density pays off exactly where preview resolutions cannot use it.
-        search_kw.setdefault(
-            "scale_range", [(0.5, 2.0, 11), (0.5, 2.0, 16)])
-        search_kw.setdefault(
-            "shift_range", [(-100.0, 100.0, 9), (-100.0, 100.0, 13)])
-        search_kw.setdefault("sweeps", 3)
-        search_kw.setdefault("resweep_window", (2.5, 7))
+        # Golden-resolution BUDGET PORTFOLIO: besides the production search
+        # profile, a second heavier profile runs — coarse slider grid = the
+        # UNION of the 11x9 and 16x13 lattices (non-nested linspaces: each
+        # finds basins the other misses) with a third windowed conditioning
+        # sweep — and the exact-nb4-total arbitration below picks per
+        # monument.  Neither profile dominates (probed,
+        # scripts/probe_cells_r5.py + results_temp_golden/probes/): the
+        # heavy profile wins Taj (+0.08 total; chhatris 0.757 -> 0.79+ via
+        # joint-growth basins between the 11-grid points) while the
+        # production profile wins Itimad (the heavy chain's extra sweeps
+        # trade windows 0.92 -> 0.85 for smaller gains elsewhere).  This is
+        # the same portfolio-then-arbitrate pattern as the greedy/ensemble
+        # schedules, one level up.
+        heavy = dict(
+            scale_range=[(0.5, 2.0, 11), (0.5, 2.0, 16)],
+            shift_range=[(-100.0, 100.0, 9), (-100.0, 100.0, 13)],
+            sweeps=3, resweep_window=(2.5, 7),
+        )
+        if exact_verify and not any(k in search_kw for k in heavy):
+            extra_profiles = [("w", heavy)]
 
     from pbr3d.ops.point_table import build_point_table
     from pbr3d.utils.profiling import prof
@@ -336,6 +341,7 @@ def run_stage3(
     schedule = search_kw.pop("portfolio", (0.0, 1.0))
     if not exact_verify:
         schedule = schedule[:1]
+    profiles = [("", {})] + extra_profiles
 
     # Per-part device windows, centroids and identity z-buffers are
     # variant-independent — compute them ONCE and share read-only across
@@ -351,9 +357,9 @@ def run_stage3(
         )
     part_points = {p: part_sets[p][:2] for p in all_parts}
 
-    def _run_variant(gw, dual_gain_w=None, pass0_done=None,
+    def _run_variant(gw, prof_kw, tag, dual_gain_w=None, pass0_done=None,
                      pass0_snapshot_out=None, pass0_prefix=None):
-        with prof(f"stage3.{monument}.refine_parts[g{gw:g}]"):
+        with prof(f"stage3.{monument}.refine_parts[{tag}g{gw:g}]"):
             return refine_parts(
                 grid_labels, mask, cam_final_front, part_names,
                 overrides=overrides, table=table, batcher=batcher,
@@ -363,44 +369,55 @@ def run_stage3(
                 dual_gain_w=dual_gain_w, pass0_done=pass0_done,
                 pass0_snapshot_out=pass0_snapshot_out,
                 pass0_prefix=pass0_prefix,
-                **search_kw,
+                **{**search_kw, **prof_kw},
             )
 
-    if len(schedule) > 1:
-        # Dual-scored pass 0: every pass-0 evaluation of the first chain is
-        # ALSO ranked under the second chain's gain weight (free — the
-        # device returns score components).  If the two objectives never
-        # disagree on a stage winner / top-k set / accept decision, the
-        # second chain is PROVABLY identical (the search machine is
-        # deterministic) and is skipped outright.  When they do diverge,
-        # the second chain launches immediately — overlapping the first
-        # chain's conditioning resweeps, like the old always-both threads —
-        # and ADOPTS the pre-divergence prefix of the first chain's pass 0
-        # (provably identical parts are not re-searched).
-        import sys
-        from concurrent.futures import ThreadPoolExecutor
+    def _run_schedule(prof_kw, tag):
+        """One search profile's greedy/ensemble schedule portfolio; returns
+        (variants, labels)."""
+        if len(schedule) > 1:
+            # Dual-scored pass 0: every pass-0 evaluation of the first
+            # chain is ALSO ranked under the second chain's gain weight
+            # (free — the device returns score components).  If the two
+            # objectives never disagree on a stage winner / top-k set /
+            # accept decision, the second chain is PROVABLY identical (the
+            # search machine is deterministic) and is skipped outright.
+            # When they do diverge, the second chain launches immediately —
+            # overlapping the first chain's conditioning resweeps — and
+            # ADOPTS the pre-divergence prefix of the first chain's pass 0
+            # (provably identical parts are not re-searched).
+            import sys
+            from concurrent.futures import ThreadPoolExecutor
 
-        ex = ThreadPoolExecutor(max_workers=max(1, len(schedule) - 1))
-        futs = []
-        snap: Dict = {}
+            ex = ThreadPoolExecutor(max_workers=max(1, len(schedule) - 1))
+            futs = []
+            snap: Dict = {}
 
-        def _pass0_done(diverged):
-            if diverged:
-                for g2 in schedule[1:]:
-                    futs.append(ex.submit(
-                        _run_variant, g2,
-                        pass0_prefix=snap if snap.get("idx") else None))
+            def _pass0_done(diverged):
+                if diverged:
+                    for g2 in schedule[1:]:
+                        futs.append(ex.submit(
+                            _run_variant, g2, prof_kw, tag,
+                            pass0_prefix=snap if snap.get("idx") else None))
 
-        v0 = _run_variant(schedule[0], dual_gain_w=schedule[1],
-                          pass0_done=_pass0_done, pass0_snapshot_out=snap)
-        variants = [v0] + [f.result() for f in futs]
-        ex.shutdown(wait=True)
-        if len(variants) == 1:
-            print(f"[stage3] {monument}: portfolio deduped (pass-0 "
-                  f"objectives never diverged)", file=sys.stderr)
-            schedule = schedule[:1]
-    else:
-        variants = [_run_variant(schedule[0])]
+            v0 = _run_variant(schedule[0], prof_kw, tag,
+                              dual_gain_w=schedule[1],
+                              pass0_done=_pass0_done, pass0_snapshot_out=snap)
+            vs = [v0] + [f.result() for f in futs]
+            ex.shutdown(wait=True)
+            if len(vs) == 1:
+                print(f"[stage3] {monument}: portfolio [{tag}] deduped "
+                      f"(pass-0 objectives never diverged)", file=sys.stderr)
+                return vs, [f"{tag}g{schedule[0]:g}"]
+            return vs, [f"{tag}g{g:g}" for g in schedule]
+        return ([_run_variant(schedule[0], prof_kw, tag)],
+                [f"{tag}g{schedule[0]:g}"])
+
+    variants, labels = [], []
+    for tag, prof_kw in profiles:
+        vs, ls = _run_schedule(prof_kw, tag)
+        variants += vs
+        labels += ls
     from pbr3d.deform.warp import build_deformed_grid_fused
 
     centers = {p: table.center(config.PART_IDS[p]) for p in variants[0]}
@@ -441,7 +458,7 @@ def run_stage3(
         ):
             # identical outcomes: the pick (two rebuilds + exact evals)
             # would arbitrate between equals — skip straight to the verify
-            variants, schedule = variants[:1], schedule[:1]
+            variants, labels = variants[:1], labels[:1]
 
         zb_i_shared = zb_identity or None
 
@@ -468,8 +485,8 @@ def run_stage3(
                 pick = int(np.argmax(totals))
                 pick_state = states[pick]
                 print(f"[stage3] {monument}: portfolio "
-                      f"{[f'g{g:g}={t:.3f}' for g, t in zip(schedule, totals)]}"
-                      f" -> g{schedule[pick]:g}", file=sys.stderr)
+                      f"{[f'{l}={t:.3f}' for l, t in zip(labels, totals)]}"
+                      f" -> {labels[pick]}", file=sys.stderr)
         with prof(f"stage3.{monument}.exact_verify"):
             before = _dsnap(variants[pick])
             deforms, deformed = enforce_no_regression(
@@ -495,7 +512,7 @@ def run_stage3(
                     t2 = _exact_total(g2)
                     if t2 > best_total:
                         print(f"[stage3] {monument}: post-verify arbitration "
-                              f"flipped to g{schedule[vi]:g} "
+                              f"flipped to {labels[vi]} "
                               f"({t2:.3f} > {best_total:.3f})", file=sys.stderr)
                         deforms, deformed, best_total = d2, g2, t2
             from pbr3d.utils.transfer import fast_get
